@@ -1,0 +1,101 @@
+"""Golden logit-parity tests: vitax ViT vs the PyTorch reference model.
+
+This is the inverse of the reference's `src/check_jax.py` harness, with the
+tolerances it left commented out (src/check_jax.py:72-77) made real and
+tightened to the ≤1e-3 logit target (BASELINE.md).
+
+The reference model is imported from /root/reference (read-only) and driven
+with random weights; both models must produce identical logits given the
+converted weights.
+"""
+
+import importlib.util
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DIR, requires_reference
+from vitax.core.config import ViTConfig
+from vitax.checkpointing import params_from_torch_state_dict, params_to_torch_state_dict
+from vitax.models import vit
+
+
+def _load_reference_module(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_vit():
+    return _load_reference_module("ref_src_model",
+                                  f"{REFERENCE_DIR}/src/model.py")
+
+
+CFG = ViTConfig(image_size=(64, 64), patch_size=(16, 16), emb_dim=96,
+                mlp_dim=192, num_heads=3, num_layers=3, num_classes=11,
+                dropout_rate=0.0, attn_dropout_rate=0.0,
+                dtype=jnp.float32, use_pallas=False)
+
+
+@requires_reference
+def test_logit_parity_random_weights(ref_vit):
+    import torch
+    torch.manual_seed(0)
+    tmodel = ref_vit.VisionTransformer(
+        image_size=CFG.image_size, patch_size=CFG.patch_size,
+        emb_dim=CFG.emb_dim, mlp_dim=CFG.mlp_dim, num_heads=CFG.num_heads,
+        num_layers=CFG.num_layers, num_classes=CFG.num_classes,
+        dropout_rate=0.0, attn_dropout_rate=0.0)
+    tmodel.eval()
+    # torch randn init gives std-1 weights → worst case for numerical parity.
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = params_from_torch_state_dict(sd, CFG.num_layers, CFG.num_classes)
+
+    x = np.random.RandomState(1).randn(4, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(x)).numpy()
+    logits = np.asarray(vit.apply_nchw(params, jnp.asarray(x), CFG))
+    # scale-aware tolerance: logits here are large (std-1 weights)
+    scale = max(1.0, float(np.abs(ref_logits).max()))
+    assert np.max(np.abs(logits - ref_logits)) / scale < 1e-3
+    np.testing.assert_array_equal(logits.argmax(-1), ref_logits.argmax(-1))
+
+
+@requires_reference
+def test_logit_parity_realistic_weights(ref_vit):
+    """Sanely-scaled weights (like a real checkpoint) → tight 1e-3 absolute."""
+    import torch
+    key = jax.random.PRNGKey(42)
+    params = vit.init_params(key, CFG)
+    sd_np = params_to_torch_state_dict(jax.tree.map(np.asarray, params))
+
+    tmodel = ref_vit.VisionTransformer(
+        image_size=CFG.image_size, patch_size=CFG.patch_size,
+        emb_dim=CFG.emb_dim, mlp_dim=CFG.mlp_dim, num_heads=CFG.num_heads,
+        num_layers=CFG.num_layers, num_classes=CFG.num_classes,
+        dropout_rate=0.0, attn_dropout_rate=0.0)
+    tmodel.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd_np.items()})
+    tmodel.eval()
+
+    x = np.random.RandomState(7).randn(4, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(x)).numpy()
+    logits = np.asarray(vit.apply_nchw(params, jnp.asarray(x), CFG))
+    assert np.max(np.abs(logits - ref_logits)) < 1e-3
+    np.testing.assert_array_equal(logits.argmax(-1), ref_logits.argmax(-1))
+
+
+@requires_reference
+def test_state_dict_roundtrip(ref_vit):
+    params = vit.init_params(jax.random.PRNGKey(0), CFG)
+    params_np = jax.tree.map(np.asarray, params)
+    sd = params_to_torch_state_dict(params_np)
+    back = params_from_torch_state_dict(sd, CFG.num_layers, CFG.num_classes)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), params_np, back)

@@ -1,0 +1,182 @@
+"""Model/arch configuration dataclasses and preset registry.
+
+Mirrors the capability surface of the reference's config layer
+(`src/config.py:57-104` arch presets, `res-vit/config.py:4-66` presets and
+dataset→classes table) but uses typed dataclasses and a registry dict instead
+of string-`eval` dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Standard Vision Transformer configuration.
+
+    Matches the constructor surface of the reference `VisionTransformer`
+    (src/model.py:159-211). Extra TPU-specific knobs: `dtype` (compute
+    precision — matmuls in bf16, softmax/LN accumulate fp32), `param_dtype`,
+    `remat` (rematerialize encoder blocks to trade FLOPs for HBM) and
+    `use_pallas` (fused Pallas kernels vs pure-XLA ops).
+    """
+
+    image_size: Tuple[int, int] = (224, 224)
+    patch_size: Tuple[int, int] = (16, 16)
+    emb_dim: int = 768
+    mlp_dim: int = 3072
+    num_heads: int = 12
+    num_layers: int = 12
+    num_classes: int = 1000
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.1
+    # TPU-specific
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    use_pallas: Optional[bool] = None  # None = auto (True on TPU backends)
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        return (self.image_size[0] // self.patch_size[0],
+                self.image_size[1] // self.patch_size[1])
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid
+        return gh * gw
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # +1 cls token
+
+    @property
+    def head_dim(self) -> int:
+        return self.emb_dim // self.num_heads
+
+    def replace(self, **kw) -> "ViTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResViTConfig:
+    """Residual-ViT configuration.
+
+    Field-compatible with the reference `ModelArgs` (res-vit/model.py:13-37);
+    `device` is intentionally absent (JAX arrays carry placement).
+    """
+
+    dim: int = 768
+    mlp_dim: int = 3072
+    n_layers: int = 12
+    n_heads: int = 12
+    n_kv_heads: Optional[int] = 12
+    norm_eps: float = 1e-5
+    lora_rank: int = 8
+    dynamic_active_target: float = 0.4
+    dynamic_start_layer: int = 2
+    dynamic_router_hdim: int = 512
+    dynamic_reserve_initials: int = 1
+    low_rank_dim: int = 256
+    block_size: int = 2
+    use_lora: bool = False
+    use_reslr: bool = False
+    image_size: Tuple[int, int] = (224, 224)
+    patch_size: Tuple[int, int] = (16, 16)
+    num_classes: int = 100
+    dropout: float = 0.15
+    # TPU-specific
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    use_pallas: Optional[bool] = None
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        return (self.image_size[0] // self.patch_size[0],
+                self.image_size[1] // self.patch_size[1])
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid
+        return gh * gw
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    def replace(self, **kw) -> "ResViTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Arch presets — identical numerology to the reference
+# (src/config.py:57-104, res-vit/config.py:15-44). All presets use
+# dropout_rate = attn_dropout_rate = 0.0 as the reference does.
+ARCH_PRESETS = {
+    "b16": dict(patch=16, emb_dim=768, mlp_dim=3072, num_heads=12, num_layers=12),
+    "b32": dict(patch=32, emb_dim=768, mlp_dim=3072, num_heads=12, num_layers=12),
+    "l16": dict(patch=16, emb_dim=1024, mlp_dim=4096, num_heads=16, num_layers=24),
+    "l32": dict(patch=32, emb_dim=1024, mlp_dim=4096, num_heads=16, num_layers=24),
+    "h14": dict(patch=14, emb_dim=1280, mlp_dim=5120, num_heads=16, num_layers=32),
+}
+
+# Dataset → number of classes (res-vit/config.py:58-66).
+DATASET_NUM_CLASSES = {
+    "CIFAR10": 10,
+    "CIFAR100": 100,
+    "ImageNet": 1000,
+    "TinyImageNet": 200,
+    "Synthetic": 10,
+}
+
+
+def num_classes_for_dataset(dataset: str, default: int = 1000) -> int:
+    return DATASET_NUM_CLASSES.get(dataset, default)
+
+
+def arch_config(arch: str, image_size: int = 224, num_classes: int = 1000,
+                **overrides) -> ViTConfig:
+    """Build a ViTConfig from a preset name ('b16'..'h14')."""
+    if arch not in ARCH_PRESETS:
+        raise ValueError(f"unknown arch {arch!r}; choose from {sorted(ARCH_PRESETS)}")
+    p = ARCH_PRESETS[arch]
+    return ViTConfig(
+        image_size=(image_size, image_size),
+        patch_size=(p["patch"], p["patch"]),
+        emb_dim=p["emb_dim"],
+        mlp_dim=p["mlp_dim"],
+        num_heads=p["num_heads"],
+        num_layers=p["num_layers"],
+        num_classes=num_classes,
+        attn_dropout_rate=0.0,
+        dropout_rate=0.0,
+        **overrides,
+    )
+
+
+def resvit_arch_config(arch: str, image_size: int = 224, num_classes: int = 100,
+                       **overrides) -> ResViTConfig:
+    """Build a ResViTConfig from a preset name (res-vit/config.py:4-46)."""
+    if arch not in ARCH_PRESETS:
+        raise ValueError(f"unknown arch {arch!r}; choose from {sorted(ARCH_PRESETS)}")
+    p = ARCH_PRESETS[arch]
+    kw = dict(
+        dim=p["emb_dim"],
+        mlp_dim=p["mlp_dim"],
+        n_heads=p["num_heads"],
+        n_kv_heads=p["num_heads"],
+        n_layers=p["num_layers"],
+        image_size=(image_size, image_size),
+        patch_size=(p["patch"], p["patch"]),
+        num_classes=num_classes,
+    )
+    kw.update(overrides)
+    return ResViTConfig(**kw)

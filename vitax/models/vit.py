@@ -1,0 +1,225 @@
+"""Standard Vision Transformer — TPU-native functional implementation.
+
+Capability-parity rebuild of the reference `VisionTransformer`
+(src/model.py:159-211) and its sub-modules:
+
+* `PositionEmbs`    (src/model.py:7-22)   → param add inside jit
+* `MlpBlock`        (src/model.py:25-51)  → `vitax.ops.mlp_block`
+* `LinearGeneral`   (src/model.py:54-63)  → einsum against `[D,H,Hd]` weights;
+  the weight layout is kept exactly as the ViT npz checkpoints store it
+  (src/checkpoint.py:100-109 confirms torch keeps it untransposed), so npz
+  weights load with zero conversion.
+* `SelfAttention`   (src/model.py:66-101) → `vitax.ops.multi_head_attention`
+* `EncoderBlock`    (src/model.py:104-130) → pre-LN residual block
+* `Encoder`         (src/model.py:133-156) → `lax.scan` over stacked layers
+
+Design: params are a plain pytree (dict) with layer-stacked leaves
+(`[L, ...]`), applied by pure functions. The encoder iterates with
+`jax.lax.scan` (one compiled block body regardless of depth) and can
+rematerialize blocks (`cfg.remat`) to trade FLOPs for HBM on h14@384.
+
+Faithful-behavior notes carried over from the reference:
+  * attention dropout is constructed but never applied (src/model.py:78-101) —
+    we do not apply it either;
+  * block dropout is applied after attention output only (src/model.py:123),
+    MLP has its own two dropouts (src/model.py:45-50), position embedding has
+    one (src/model.py:19-20). All presets set every rate to 0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vitax.core.config import ViTConfig
+from vitax.ops import layer_norm, mlp_block, multi_head_attention, patchify_matmul
+
+Params = Dict[str, Any]
+
+# The reference's `nn.LayerNorm(dim)` uses torch's default eps = 1e-5
+# (src/model.py:108,114,146). Logit parity requires matching it exactly.
+LN_EPS = 1e-5
+
+
+def init_params(key: jax.Array, cfg: ViTConfig) -> Params:
+    """Initialize a parameter pytree.
+
+    Weight layouts match the ViT npz checkpoint format so pretrained weights
+    load without transposition. Inits are sensible modern defaults (the
+    reference's `torch.randn` std-1.0 init for LinearGeneral is an accident of
+    the codebase, never used — every recipe loads a checkpoint)."""
+    d, m = cfg.emb_dim, cfg.mlp_dim
+    h, hd = cfg.num_heads, cfg.head_dim
+    L = cfg.num_layers
+    ph, pw = cfg.patch_size
+    n = cfg.num_patches
+    pdt = cfg.param_dtype
+
+    keys = jax.random.split(key, 12)
+
+    def lecun(k, shape, fan_in):
+        return (jax.random.truncated_normal(k, -2.0, 2.0, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(pdt)
+
+    zeros = lambda shape: jnp.zeros(shape, pdt)
+
+    params: Params = {
+        "embedding": {
+            "kernel": lecun(keys[0], (ph, pw, 3, d), ph * pw * 3),
+            "bias": zeros((d,)),
+        },
+        "cls_token": zeros((1, 1, d)),
+        "pos_embedding": (jax.random.normal(keys[1], (1, n + 1, d), jnp.float32)
+                          * 0.02).astype(pdt),
+        "layers": {
+            "ln1": {"scale": jnp.ones((L, d), pdt), "bias": zeros((L, d))},
+            "attn": {
+                "query": {"kernel": lecun(keys[2], (L, d, h, hd), d),
+                          "bias": zeros((L, h, hd))},
+                "key": {"kernel": lecun(keys[3], (L, d, h, hd), d),
+                        "bias": zeros((L, h, hd))},
+                "value": {"kernel": lecun(keys[4], (L, d, h, hd), d),
+                          "bias": zeros((L, h, hd))},
+                "out": {"kernel": lecun(keys[5], (L, h, hd, d), d),
+                        "bias": zeros((L, d))},
+            },
+            "ln2": {"scale": jnp.ones((L, d), pdt), "bias": zeros((L, d))},
+            "mlp": {
+                "fc1": {"kernel": lecun(keys[6], (L, d, m), d), "bias": zeros((L, m))},
+                "fc2": {"kernel": lecun(keys[7], (L, m, d), m), "bias": zeros((L, d))},
+            },
+        },
+        "encoder_norm": {"scale": jnp.ones((d,), pdt), "bias": zeros((d,))},
+        "classifier": {"kernel": lecun(keys[8], (d, cfg.num_classes), d),
+                       "bias": zeros((cfg.num_classes,))},
+    }
+    return params
+
+
+def reinit_classifier(params: Params, key: jax.Array, num_classes: int) -> Params:
+    """Re-initialize the classification head for a new class count —
+    the reference's head re-init on class mismatch (src/train.py:117-121)."""
+    d = params["classifier"]["kernel"].shape[0]
+    pdt = params["classifier"]["kernel"].dtype
+    new = dict(params)
+    new["classifier"] = {
+        "kernel": (jax.random.truncated_normal(key, -2.0, 2.0, (d, num_classes),
+                                               jnp.float32) * (d ** -0.5)).astype(pdt),
+        "bias": jnp.zeros((num_classes,), pdt),
+    }
+    return new
+
+
+def _dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
+             deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _attention(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
+    """SelfAttention with LinearGeneral-layout weights (src/model.py:66-101)."""
+    dt = x.dtype
+    q = jnp.einsum("bnd,dhk->bnhk", x, p["query"]["kernel"].astype(dt),
+                   preferred_element_type=jnp.float32) + p["query"]["bias"].astype(jnp.float32)
+    k = jnp.einsum("bnd,dhk->bnhk", x, p["key"]["kernel"].astype(dt),
+                   preferred_element_type=jnp.float32) + p["key"]["bias"].astype(jnp.float32)
+    v = jnp.einsum("bnd,dhk->bnhk", x, p["value"]["kernel"].astype(dt),
+                   preferred_element_type=jnp.float32) + p["value"]["bias"].astype(jnp.float32)
+    out = multi_head_attention(q.astype(dt), k.astype(dt), v.astype(dt),
+                               use_pallas=cfg.use_pallas)
+    y = jnp.einsum("bnhk,hkd->bnd", out, p["out"]["kernel"].astype(dt),
+                   preferred_element_type=jnp.float32) + p["out"]["bias"].astype(jnp.float32)
+    return y.astype(dt)
+
+
+def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
+           rng: Optional[jax.Array], deterministic: bool) -> jnp.ndarray:
+    """Pre-LN encoder block (src/model.py:117-130)."""
+    r1 = r2 = r3 = None
+    if rng is not None:
+        r1, r2, r3 = jax.random.split(rng, 3)
+    h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], LN_EPS,
+                   use_pallas=cfg.use_pallas)
+    h = _attention(h, lp["attn"], cfg)
+    h = _dropout(h, cfg.dropout_rate, r1, deterministic)
+    x = x + h
+    h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], LN_EPS,
+                   use_pallas=cfg.use_pallas)
+    # MlpBlock with its two dropouts (src/model.py:41-51)
+    h1 = jnp.einsum("bnd,dm->bnm", h, lp["mlp"]["fc1"]["kernel"].astype(h.dtype),
+                    preferred_element_type=jnp.float32) + lp["mlp"]["fc1"]["bias"].astype(jnp.float32)
+    h1 = jax.nn.gelu(h1, approximate=False)
+    h1 = _dropout(h1.astype(x.dtype), cfg.dropout_rate, r2, deterministic)
+    h2 = jnp.einsum("bnm,md->bnd", h1, lp["mlp"]["fc2"]["kernel"].astype(h1.dtype),
+                    preferred_element_type=jnp.float32) + lp["mlp"]["fc2"]["bias"].astype(jnp.float32)
+    h2 = _dropout(h2.astype(x.dtype), cfg.dropout_rate, r3, deterministic)
+    return x + h2
+
+
+def embed(params: Params, images: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    """Patchify + cls token + position embedding → [B, N+1, D] tokens."""
+    if images.ndim != 4 or images.shape[1:] != (*cfg.image_size, 3):
+        raise ValueError(
+            f"expected NHWC images [B, {cfg.image_size[0]}, {cfg.image_size[1]}, 3] "
+            f"for this config, got {images.shape}")
+    tokens = patchify_matmul(images, params["embedding"]["kernel"],
+                             params["embedding"]["bias"], dtype=cfg.dtype)
+    b = tokens.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(cfg.dtype),
+                           (b, 1, tokens.shape[-1]))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    # fp32 add of the position embedding, then back to compute dtype
+    tokens = (tokens.astype(jnp.float32)
+              + params["pos_embedding"].astype(jnp.float32)).astype(cfg.dtype)
+    return tokens
+
+
+def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
+          train: bool = False, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Forward pass: NHWC images [B,H,W,3] → logits [B, num_classes]."""
+    deterministic = not train or cfg.dropout_rate <= 0.0
+    x = embed(params, images, cfg)
+    if not deterministic and rng is not None:
+        rng, pos_rng = jax.random.split(rng)
+        x = _dropout(x, cfg.dropout_rate, pos_rng, deterministic)
+
+    L = cfg.num_layers
+    if deterministic:
+        layer_rngs = None
+    else:
+        layer_rngs = jax.random.split(rng, L)
+
+    def body(x, inputs):
+        lp, r = inputs
+        return _block(x, lp, cfg, r, deterministic), None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+
+    if layer_rngs is None:
+        def body_nr(x, lp):
+            return _block(x, lp, cfg, None, True), None
+        if cfg.remat:
+            body_nr = jax.checkpoint(body_nr)
+        x, _ = jax.lax.scan(body_nr, x, params["layers"])
+    else:
+        x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
+
+    x = layer_norm(x, params["encoder_norm"]["scale"],
+                   params["encoder_norm"]["bias"], LN_EPS,
+                   use_pallas=cfg.use_pallas)
+    cls = x[:, 0].astype(jnp.float32)
+    logits = cls @ params["classifier"]["kernel"].astype(jnp.float32) \
+        + params["classifier"]["bias"].astype(jnp.float32)
+    return logits
+
+
+def apply_nchw(params: Params, images_nchw: jnp.ndarray, cfg: ViTConfig,
+               **kw) -> jnp.ndarray:
+    """Convenience wrapper accepting the reference's NCHW layout."""
+    return apply(params, jnp.transpose(images_nchw, (0, 2, 3, 1)), cfg, **kw)
