@@ -1,0 +1,121 @@
+"""Input-pipeline tests: transforms parity vs torchvision, shuffling
+determinism, padded final batch, dataset readers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vitax.data import (DataLoader, SyntheticDataLoader, get_dataloader,
+                        normalize)
+from vitax.data import datasets as D
+
+
+def test_synthetic_loader_shapes():
+    dl = SyntheticDataLoader(split="train", image_size=32, batch_size=8,
+                             num_samples=20, num_classes=10, seed=0)
+    batches = list(dl)
+    assert len(batches) == len(dl) == 3
+    for b in batches:
+        assert b.images.shape == (8, 32, 32, 3)
+        assert b.images.dtype == np.float32
+        assert b.labels.shape == (8,)
+    # final batch is padded: 20 = 8+8+4
+    assert batches[-1].weight.sum() == 4.0
+    assert batches[0].weight.sum() == 8.0
+
+
+def test_shuffle_is_seeded_and_epoch_dependent():
+    dl = SyntheticDataLoader(split="train", image_size=16, batch_size=4,
+                             num_samples=16, seed=7, prefetch=0)
+    e0 = np.concatenate([b.labels for b in dl])
+    e0b = np.concatenate([b.labels for b in dl])
+    np.testing.assert_array_equal(e0, e0b)  # same epoch → same order
+    dl.set_epoch(1)
+    e1 = np.concatenate([b.labels for b in dl])
+    assert not np.array_equal(e0, e1)  # different epoch → reshuffled
+
+
+def test_val_split_is_ordered_and_unflipped():
+    dl = SyntheticDataLoader(split="val", image_size=16, batch_size=4,
+                             num_samples=8, seed=0, prefetch=0)
+    items = np.asarray(dl.items)
+    got = np.concatenate([b.images for b in dl])
+    expect = normalize(items)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_normalize_range():
+    x = np.asarray([[[[0, 128, 255]]]], np.uint8)
+    n = normalize(x)
+    np.testing.assert_allclose(n[0, 0, 0], [-1.0, 0.00392157, 1.0], atol=1e-5)
+
+
+def test_resize_matches_torchvision():
+    """PIL-bilinear resize must be pixel-identical to torchvision's
+    transforms.Resize on PIL input (SURVEY §7 input-pipeline parity)."""
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    from PIL import Image
+    from torchvision import transforms
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (32, 32, 3), np.uint8)
+
+    from vitax.data.pipeline import _resize_uint8
+    ours = _resize_uint8(img, (224, 224))
+
+    t = transforms.Compose([transforms.Resize((224, 224)), transforms.ToTensor()])
+    theirs = (t(Image.fromarray(img)).numpy().transpose(1, 2, 0) * 255)
+    np.testing.assert_allclose(ours.astype(np.float32), theirs, atol=0.51)
+
+
+def test_registry_dispatch_rejects_unknown():
+    with pytest.raises(ValueError):
+        get_dataloader("NotADataset")
+
+
+def test_cifar10_reader(tmp_path):
+    """Round-trip a synthetic CIFAR-10 pickle batch through the reader."""
+    import pickle
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(1, 6):
+        d = {"data": rng.randint(0, 256, (10, 3072), np.uint8).tolist(),
+             "labels": rng.randint(0, 10, 10).tolist()}
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump(d, f)
+    with open(base / "test_batch", "wb") as f:
+        pickle.dump({"data": rng.randint(0, 256, (6, 3072), np.uint8).tolist(),
+                     "labels": rng.randint(0, 10, 6).tolist()}, f)
+    x, y, ncls = D.load_cifar10(str(tmp_path), "train")
+    assert x.shape == (50, 32, 32, 3) and y.shape == (50,) and ncls == 10
+    xv, yv, _ = D.load_cifar10(str(tmp_path), "val")
+    assert xv.shape == (6, 32, 32, 3)
+
+
+def test_imagefolder_reader(tmp_path):
+    from PIL import Image
+    for split in ("train", "val"):
+        for cls in ("cat", "dog"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(3):
+                Image.fromarray(
+                    np.zeros((8, 8, 3), np.uint8)).save(d / f"{i}.png")
+    paths, labels, ncls = D.load_imagenet(str(tmp_path), "train")
+    assert len(paths) == 6 and ncls == 2
+    assert labels.tolist() == [0, 0, 0, 1, 1, 1]  # sorted classes: cat=0
+
+
+def test_tinyimagenet_reader(tmp_path):
+    from PIL import Image
+    for cls in ("n001", "n002"):
+        d = tmp_path / "train" / cls / "images"
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+                d / f"{cls}_{i}.JPEG")
+    paths, labels, ncls = D.load_tinyimagenet(str(tmp_path), "train")
+    assert len(paths) == 4 and ncls == 2

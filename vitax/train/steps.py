@@ -1,0 +1,94 @@
+"""Jit-compiled train/eval steps for the standard ViT.
+
+The reference's per-batch loop body (src/train.py:16-32: forward, CE loss,
+backward, SGD step, scheduler step, accuracy) becomes ONE compiled XLA
+program. Under a data mesh, XLA emits the gradient all-reduce over ICI —
+superseding `torch.nn.DataParallel` (src/train.py:128-129).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vitax.core.config import ViTConfig
+from vitax.models import vit
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def create_train_state(params: Any, tx: optax.GradientTransformation,
+                       rng: jax.Array) -> TrainState:
+    return TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                      opt_state=tx.init(params), rng=rng)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE over the batch, fp32 — `nn.CrossEntropyLoss` semantics
+    (src/train.py:151, 20)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
+
+
+def topk_accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  ks=(1, 5)) -> Dict[str, jnp.ndarray]:
+    """Top-k accuracy fractions (src/utils.py:28-41)."""
+    out = {}
+    max_k = max(ks)
+    _, top = jax.lax.top_k(logits, max_k)
+    correct = top == labels[:, None]
+    for k in ks:
+        out[f"acc{k}"] = jnp.mean(jnp.any(correct[:, :k], axis=-1)
+                                  .astype(jnp.float32))
+    return out
+
+
+def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
+                    donate: bool = True):
+    """Build the jitted train step: (state, images, labels) → (state, metrics).
+
+    images are NHWC in the compute dtype; labels int32. Buffers are donated so
+    params/opt-state update in place in HBM.
+    """
+
+    def step_fn(state: TrainState, images: jnp.ndarray,
+                labels: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            logits = vit.apply(params, images, cfg, train=True, rng=rng)
+            return cross_entropy(logits, labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **topk_accuracy(logits, labels)}
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, rng=state.rng)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: ViTConfig):
+    """Jitted eval step: (params, images, labels) → metrics dict
+    (src/eval.py:61-75, src/train.py:40-66)."""
+
+    def step_fn(params, images, labels):
+        logits = vit.apply(params, images, cfg, train=False)
+        return {"loss": cross_entropy(logits, labels),
+                **topk_accuracy(logits, labels)}
+
+    return jax.jit(step_fn)
