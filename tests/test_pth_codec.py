@@ -1,0 +1,86 @@
+"""Round-trip tests for the pure-Python .pth codec vs real torch."""
+
+import numpy as np
+import pytest
+
+from vitax.checkpointing.pth import load_pth, load_state_dict_pth, save_pth
+
+torch = pytest.importorskip("torch")
+
+
+def _rand_state_dict():
+    rng = np.random.RandomState(0)
+    return {
+        "layer.weight": rng.randn(8, 4).astype(np.float32),
+        "layer.bias": rng.randn(8).astype(np.float32),
+        "emb.weight": rng.randn(2, 3, 4, 5).astype(np.float32),
+        "counter": rng.randint(0, 100, (7,)).astype(np.int64),
+        "flag": rng.rand(3) > 0.5,
+    }
+
+
+def test_read_torch_written(tmp_path):
+    sd_np = _rand_state_dict()
+    sd_t = {k: torch.from_numpy(v.copy()) for k, v in sd_np.items()}
+    p = tmp_path / "t.pth"
+    torch.save(sd_t, p)
+    got = load_pth(str(p))
+    assert set(got) == set(sd_np)
+    for k in sd_np:
+        np.testing.assert_array_equal(got[k], sd_np[k])
+
+
+def test_read_noncontiguous_and_wrapped(tmp_path):
+    w = torch.randn(6, 6)
+    obj = {"state_dict": {"w_t": w.t(), "w_slice": w[1:5:2]},
+           "epoch": 3, "lr": 0.5, "name": "best"}
+    p = tmp_path / "t.pth"
+    torch.save(obj, p)
+    got = load_pth(str(p))
+    np.testing.assert_allclose(got["state_dict"]["w_t"], w.t().numpy())
+    np.testing.assert_allclose(got["state_dict"]["w_slice"], w[1:5:2].numpy())
+    assert got["epoch"] == 3 and got["lr"] == 0.5 and got["name"] == "best"
+    sd = load_state_dict_pth(str(p))
+    assert set(sd) == {"w_t", "w_slice"}
+
+
+def test_torch_reads_ours(tmp_path):
+    sd = _rand_state_dict()
+    obj = {"state_dict": sd, "epoch": 12, "tag": "current",
+           "nested": {"lrs": [0.1, 0.2], "steps": (1, 2, 3)}}
+    p = tmp_path / "ours.pth"
+    save_pth(obj, str(p))
+    got = torch.load(str(p), weights_only=False)
+    assert got["epoch"] == 12 and got["tag"] == "current"
+    assert got["nested"]["lrs"] == [0.1, 0.2]
+    assert tuple(got["nested"]["steps"]) == (1, 2, 3)
+    for k, v in sd.items():
+        tv = got["state_dict"][k]
+        assert isinstance(tv, torch.Tensor)
+        np.testing.assert_array_equal(tv.numpy(), v)
+
+
+def test_our_roundtrip_without_torch(tmp_path):
+    sd = _rand_state_dict()
+    p = tmp_path / "rt.pth"
+    save_pth({"state_dict": sd}, str(p))
+    got = load_state_dict_pth(str(p))
+    for k, v in sd.items():
+        np.testing.assert_array_equal(got[k], v)
+
+
+def test_bf16_read(tmp_path):
+    x = torch.randn(4, 4, dtype=torch.bfloat16)
+    p = tmp_path / "bf16.pth"
+    torch.save({"x": x}, p)
+    got = load_pth(str(p))
+    np.testing.assert_allclose(got["x"], x.float().numpy(), rtol=0, atol=0)
+
+
+def test_big_tensor_and_many_keys(tmp_path):
+    sd = {f"k{i}": np.full((300,), i, np.float32) for i in range(300)}
+    p = tmp_path / "many.pth"
+    save_pth(sd, str(p))
+    got = torch.load(str(p), weights_only=False)
+    assert len(got) == 300
+    np.testing.assert_array_equal(got["k299"].numpy(), sd["k299"])

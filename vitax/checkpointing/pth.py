@@ -1,0 +1,372 @@
+"""Pure-Python `.pth` (PyTorch zip serialization) reader/writer — no torch.
+
+The reference's pretrained weights and saved checkpoints are `.pth` archives
+(src/checkpoint.py:13, src/train.py:69-81). vitax reads and writes that
+format natively so users can interoperate with reference-produced files (and
+the reference can load vitax-exported ones) without importing torch.
+
+Format (torch.save, _use_new_zipfile_serialization=True):
+
+    <name>/data.pkl      pickle of the object; each tensor is rebuilt via
+                         torch._utils._rebuild_tensor_v2(storage, offset,
+                         size, stride, requires_grad, hooks) where `storage`
+                         is a pickle *persistent id* tuple
+                         ('storage', <StorageType>, key, location, numel)
+    <name>/data/<key>    raw little-endian bytes of each storage
+    <name>/version       serialization version ("3")
+
+Reading uses a custom Unpickler (persistent_load + find_class shims).
+Writing emits the pickle opcode stream by hand — the stdlib Pickler cannot
+reference torch globals without importing torch (save_global verifies
+identity), so the fixed schema is serialized directly.
+
+Round-trip equivalence against real torch.save/torch.load is tested in
+tests/test_pth_codec.py.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+import zipfile
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+# -- dtype <-> torch storage-class names -------------------------------------
+
+STORAGE_TO_DTYPE = {
+    "FloatStorage": np.dtype("<f4"),
+    "DoubleStorage": np.dtype("<f8"),
+    "HalfStorage": np.dtype("<f2"),
+    "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("<i1"),
+    "ByteStorage": np.dtype("<u1"),
+    "BoolStorage": np.dtype("<?"),
+    # BFloat16 has no numpy dtype; stored as uint16 words + tagged
+    "BFloat16Storage": np.dtype("<u2"),
+}
+
+DTYPE_TO_STORAGE = {
+    np.dtype("<f4"): "FloatStorage",
+    np.dtype("<f8"): "DoubleStorage",
+    np.dtype("<f2"): "HalfStorage",
+    np.dtype("<i8"): "LongStorage",
+    np.dtype("<i4"): "IntStorage",
+    np.dtype("<i2"): "ShortStorage",
+    np.dtype("<i1"): "CharStorage",
+    np.dtype("<u1"): "ByteStorage",
+    np.dtype("<?"): "BoolStorage",
+}
+
+
+class _StorageRef:
+    __slots__ = ("storage_type", "key", "numel")
+
+    def __init__(self, storage_type: str, key: str, numel: int):
+        self.storage_type = storage_type
+        self.key = key
+        self.numel = numel
+
+
+class _TorchGlobalStub:
+    """Placeholder for any torch.* global referenced by the pickle."""
+
+    def __init__(self, module: str, name: str):
+        self.module = module
+        self.name = name
+
+    def __call__(self, *args, **kwargs):  # e.g. immortalized dtype objects
+        return self
+
+    def __repr__(self):
+        return f"<torch-global {self.module}.{self.name}>"
+
+
+def _rebuild_tensor_v2(storage_and_bytes, storage_offset, size, stride,
+                       requires_grad=False, backward_hooks=None,
+                       metadata=None):
+    ref, raw = storage_and_bytes
+    dtype = STORAGE_TO_DTYPE[ref.storage_type]
+    flat = np.frombuffer(raw, dtype=dtype)
+    if ref.storage_type == "BFloat16Storage":
+        # widen bf16 words to float32: place them in the high half
+        flat = (flat.astype(np.uint32) << 16).view(np.float32)
+    itemsize = flat.dtype.itemsize
+    strides_bytes = tuple(s * itemsize for s in stride)
+    arr = np.lib.stride_tricks.as_strided(
+        flat[storage_offset:], shape=tuple(size), strides=strides_bytes)
+    return np.array(arr)  # materialize a contiguous owned copy
+
+
+def _rebuild_parameter(data, requires_grad=True, backward_hooks=None):
+    return data
+
+
+class _PthUnpickler(pickle.Unpickler):
+    def __init__(self, file, zf: zipfile.ZipFile, prefix: str):
+        super().__init__(file, encoding="latin1")
+        self._zf = zf
+        self._prefix = prefix
+
+    def persistent_load(self, pid):
+        typename, storage_type, key, _location, numel = pid[0], *pid[1:5]
+        if typename != "storage":
+            raise pickle.UnpicklingError(f"unknown persistent id {typename!r}")
+        st_name = (storage_type.name if isinstance(storage_type, _TorchGlobalStub)
+                   else str(storage_type))
+        raw = self._zf.read(f"{self._prefix}data/{key}")
+        return (_StorageRef(st_name, key, numel), raw)
+
+    def find_class(self, module, name):
+        if module == "torch._utils" and name == "_rebuild_tensor_v2":
+            return _rebuild_tensor_v2
+        if module == "torch._utils" and name == "_rebuild_parameter":
+            return _rebuild_parameter
+        if module.startswith("torch"):
+            return _TorchGlobalStub(module, name)
+        if module == "collections" and name == "OrderedDict":
+            return dict
+        if module in ("builtins", "__builtin__"):
+            return super().find_class(module, name)
+        if module.startswith("numpy"):
+            return super().find_class(module, name)
+        # anything else (e.g. whole pickled nn.Module graphs): opaque stub
+        return _TorchGlobalStub(module, name)
+
+
+def load_pth(path: str) -> Any:
+    """Load a `.pth` archive into numpy-backed python objects.
+
+    Tensors become numpy arrays (bf16 widened to fp32). Unresolvable torch
+    objects (e.g. whole pickled modules) come back as inert stubs."""
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        pkl = next(n for n in names if n.endswith("data.pkl"))
+        prefix = pkl[: -len("data.pkl")]
+        with zf.open(pkl) as f:
+            return _PthUnpickler(io.BytesIO(f.read()), zf, prefix).load()
+
+
+# -- writer -------------------------------------------------------------------
+
+class _PickleWriter:
+    """Minimal pickle-protocol-2 emitter for the torch .pth schema."""
+
+    def __init__(self):
+        self.out = io.BytesIO()
+        self._memo: Dict[int, int] = {}
+        self.out.write(b"\x80\x02")  # PROTO 2
+
+    # low-level opcodes ------------------------------------------------------
+
+    def _memoize(self, obj_id: int) -> None:
+        idx = len(self._memo)
+        self._memo[obj_id] = idx
+        if idx < 256:
+            self.out.write(b"q" + struct.pack("<B", idx))    # BINPUT
+        else:
+            self.out.write(b"r" + struct.pack("<I", idx))    # LONG_BINPUT
+
+    def global_(self, module: str, name: str) -> None:
+        self.out.write(b"c" + module.encode() + b"\n" + name.encode() + b"\n")
+        self._memoize(id((module, name)) ^ hash((module, name)))
+
+    def str_(self, s: str) -> None:
+        b = s.encode("utf-8")
+        if len(b) < 256:
+            self.out.write(b"U" + struct.pack("<B", len(b)) + b)  # SHORT_BINSTRING
+        else:
+            self.out.write(b"T" + struct.pack("<I", len(b)) + b)  # BINSTRING
+        self._memoize(id(s) ^ hash(("s", s)))
+
+    def int_(self, v: int) -> None:
+        if 0 <= v < 2 ** 16:
+            if v < 256:
+                self.out.write(b"K" + struct.pack("<B", v))       # BININT1
+            else:
+                self.out.write(b"M" + struct.pack("<H", v))       # BININT2
+        elif -2 ** 31 <= v < 2 ** 31:
+            self.out.write(b"J" + struct.pack("<i", v))           # BININT
+        else:
+            data = v.to_bytes((v.bit_length() + 8) // 8, "little", signed=True)
+            self.out.write(b"\x8a" + struct.pack("<B", len(data)) + data)  # LONG1
+
+    def float_(self, v: float) -> None:
+        self.out.write(b"G" + struct.pack(">d", v))               # BINFLOAT
+
+    def bool_(self, v: bool) -> None:
+        self.out.write(b"\x88" if v else b"\x89")                 # NEWTRUE/FALSE
+
+    def none_(self) -> None:
+        self.out.write(b"N")
+
+    def mark(self) -> None:
+        self.out.write(b"(")
+
+    def tuple_end(self, n: int) -> None:
+        if n == 0:
+            self.out.write(b")")
+        elif n == 1:
+            self.out.write(b"\x85")
+        elif n == 2:
+            self.out.write(b"\x86")
+        elif n == 3:
+            self.out.write(b"\x87")
+        else:
+            self.out.write(b"t")  # TUPLE (uses MARK)
+        self._memoize(id(object()))
+
+    def reduce(self) -> None:
+        self.out.write(b"R")
+        self._memoize(id(object()))
+
+    def empty_dict(self) -> None:
+        self.out.write(b"}")
+        self._memoize(id(object()))
+
+    def setitems(self) -> None:
+        self.out.write(b"u")  # SETITEMS (uses MARK)
+
+    def empty_list(self) -> None:
+        self.out.write(b"]")
+        self._memoize(id(object()))
+
+    def appends(self) -> None:
+        self.out.write(b"e")
+
+    def binpersid(self) -> None:
+        self.out.write(b"Q")
+
+    def stop(self) -> None:
+        self.out.write(b".")
+
+    def getvalue(self) -> bytes:
+        return self.out.getvalue()
+
+
+def _plan_storages(obj: Any, plan: Dict[int, Tuple[str, np.ndarray]]) -> None:
+    if isinstance(obj, np.ndarray):
+        plan[id(obj)] = (str(len(plan)), obj)
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            _plan_storages(v, plan)
+    elif isinstance(obj, (list, tuple)):
+        for v in obj:
+            _plan_storages(v, plan)
+
+
+def _emit(w: _PickleWriter, obj: Any, plan: Dict[int, Tuple[str, np.ndarray]]) -> None:
+    if obj is None:
+        w.none_()
+    elif isinstance(obj, bool):
+        w.bool_(obj)
+    elif isinstance(obj, (int, np.integer)):
+        w.int_(int(obj))
+    elif isinstance(obj, (float, np.floating)):
+        w.float_(float(obj))
+    elif isinstance(obj, str):
+        w.str_(obj)
+    elif isinstance(obj, np.ndarray):
+        _emit_tensor(w, obj, plan)
+    elif isinstance(obj, dict):
+        # emit as collections.OrderedDict for torch-idiomatic state_dicts
+        w.global_("collections", "OrderedDict")
+        w.tuple_end(0)  # EMPTY_TUPLE — no MARK involved
+        w.reduce()
+        w.mark()
+        for k, v in obj.items():
+            _emit(w, k, plan)
+            _emit(w, v, plan)
+        w.setitems()
+    elif isinstance(obj, (list,)):
+        w.empty_list()
+        w.mark()
+        for v in obj:
+            _emit(w, v, plan)
+        w.appends()
+    elif isinstance(obj, tuple):
+        w.mark()
+        for v in obj:
+            _emit(w, v, plan)
+        w.out.write(b"t")
+    else:
+        raise TypeError(f"cannot serialize {type(obj)} into .pth")
+
+
+def _emit_tensor(w: _PickleWriter, arr: np.ndarray,
+                 plan: Dict[int, Tuple[str, np.ndarray]]) -> None:
+    key, _ = plan[id(arr)]
+    arr_c = np.ascontiguousarray(arr)
+    dtype = arr_c.dtype.newbyteorder("<")
+    if dtype not in DTYPE_TO_STORAGE:
+        raise TypeError(f"unsupported tensor dtype {arr.dtype}")
+    storage_name = DTYPE_TO_STORAGE[dtype]
+
+    w.global_("torch._utils", "_rebuild_tensor_v2")
+    w.mark()  # opens the 6-element args tuple
+    # persistent id tuple ('storage', Type, key, 'cpu', numel)
+    w.mark()
+    w.str_("storage")
+    w.global_("torch", storage_name)
+    w.str_(key)
+    w.str_("cpu")
+    w.int_(arr_c.size)
+    w.out.write(b"t")
+    w.binpersid()
+    # remaining args: offset, size, stride, requires_grad, hooks
+    w.int_(0)
+    _emit_int_tuple(w, arr_c.shape)
+    _emit_int_tuple(w, tuple(s // arr_c.itemsize for s in arr_c.strides))
+    w.bool_(False)
+    w.global_("collections", "OrderedDict")
+    w.tuple_end(0)
+    w.reduce()
+    w.out.write(b"t")  # close the 6-element args tuple
+    w.reduce()
+
+
+def _emit_int_tuple(w: _PickleWriter, t: Tuple[int, ...]) -> None:
+    if len(t) <= 3:
+        for v in t:
+            w.int_(v)
+        w.tuple_end(len(t))
+    else:
+        w.mark()
+        for v in t:
+            w.int_(v)
+        w.out.write(b"t")
+
+
+def save_pth(obj: Any, path: str, archive_name: str = "archive") -> None:
+    """Write `obj` (nested dict/list of numpy arrays + scalars/strings) as a
+    torch-loadable `.pth` zip archive."""
+    plan: Dict[int, Tuple[str, np.ndarray]] = {}
+    _plan_storages(obj, plan)
+
+    w = _PickleWriter()
+    _emit(w, obj, plan)
+    w.stop()
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr(f"{archive_name}/data.pkl", w.getvalue())
+        for key, arr in plan.values():
+            arr_c = np.ascontiguousarray(arr)
+            if arr_c.dtype.byteorder == ">":
+                arr_c = arr_c.astype(arr_c.dtype.newbyteorder("<"))
+            zf.writestr(f"{archive_name}/data/{key}", arr_c.tobytes())
+        zf.writestr(f"{archive_name}/version", "3\n")
+        zf.writestr(f"{archive_name}/byteorder", "little")
+
+
+def load_state_dict_pth(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference-style checkpoint and return its state_dict —
+    handles both raw state_dicts and {'state_dict': ...} wrappers
+    (src/checkpoint.py:13)."""
+    obj = load_pth(path)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        return obj["state_dict"]
+    return obj

@@ -1,0 +1,84 @@
+"""Argparse front-ends with the reference's exact flag surface.
+
+`get_train_config` / `get_eval_config` mirror src/config.py:5-54 flag names,
+defaults and choices; extra vitax-only flags (all optional, prefixed where
+new) add TPU capabilities: `--resume`, `--dtype`, `--remat`, `--no-pallas`,
+`--tensorboard`, `--export-pth`, `--n-model` (tensor-parallel axis).
+`--n-gpu` is kept for CLI compatibility and interpreted as the number of
+devices to use (0 = all available).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from vitax.core.config import num_classes_for_dataset
+from vitax.utils.experiment import process_config
+
+ARCHES = ["b16", "b32", "l16", "l32", "h14"]
+DATASETS = ["CIFAR10", "CIFAR100", "ImageNet", "TinyImageNet", "Synthetic"]
+
+
+def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
+    p.add_argument("--n-gpu", type=int, default=0,
+                   help="number of devices to use (0 = all); name kept for "
+                        "reference-CLI compatibility")
+    p.add_argument("--model-arch", type=str, default="b16", choices=ARCHES)
+    p.add_argument("--checkpoint-path", type=str, default=None)
+    p.add_argument("--image-size", type=int,
+                   default=224 if train else 384, choices=[32, 64, 224, 384])
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--data-dir", type=str, default="data")
+    p.add_argument("--dataset", type=str,
+                   default="CIFAR10" if train else "ImageNet",
+                   choices=DATASETS)
+    p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    # vitax extras
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder blocks (activation memory ↓)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="disable fused Pallas kernels (pure-XLA ops)")
+    p.add_argument("--n-model", type=int, default=1,
+                   help="tensor-parallel mesh axis size")
+
+
+def get_train_config(argv=None):
+    p = argparse.ArgumentParser("vitax train")
+    p.add_argument("--exp-name", type=str, default="ft")
+    p.add_argument("--swanlab", action="store_true")
+    p.add_argument("--tensorboard", action="store_true")
+    _add_common(p, train=True)
+    p.add_argument("--train-steps", type=int, default=10000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=1e-4)
+    p.add_argument("--warmup-steps", type=int, default=500)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume full training state from")
+    p.add_argument("--export-pth", action="store_true",
+                   help="also export best weights as reference-loadable .pth")
+    p.add_argument("--exp-root", type=str, default="experiments")
+    cfg = p.parse_args(argv)
+    if cfg.num_classes is None:
+        cfg.num_classes = num_classes_for_dataset(cfg.dataset)
+    return process_config(cfg, root=cfg.exp_root)
+
+
+def get_eval_config(argv=None):
+    p = argparse.ArgumentParser("vitax eval")
+    _add_common(p, train=False)
+    cfg = p.parse_args(argv)
+    if cfg.num_classes is None:
+        cfg.num_classes = num_classes_for_dataset(cfg.dataset)
+    return cfg
+
+
+def print_config(config) -> None:
+    """src/config.py:107-114 behavior."""
+    print("----- Configuration -----")
+    for k, v in sorted(vars(config).items()):
+        print(f"{k}: {v}")
+    print("-------------------------")

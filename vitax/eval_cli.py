@@ -1,0 +1,96 @@
+"""Evaluation CLI — the vitax counterpart of src/eval.py.
+
+Loads a checkpoint (npz/.pth/vitax store), evaluates top-1/top-5 on the val
+split and prints the means (src/eval.py:57-77). Defaults mirror the
+reference's eval config: ImageNet @ 384, b16 (src/config.py:5-25).
+
+Run: `python -m vitax.eval_cli --dataset CIFAR10 --checkpoint-path ...`
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vitax import cli
+from vitax.checkpointing import CheckpointStore, load_checkpoint
+from vitax.core.config import arch_config
+from vitax.core.prng import set_seed
+from vitax.data import get_dataloader
+from vitax.models import vit
+from vitax.train_cli import make_weighted_eval_step
+
+
+def main(argv=None):
+    config = cli.get_eval_config(argv)
+    cli.print_config(config)
+    set_seed(config.seed)
+
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    cfg = arch_config(config.model_arch, image_size=config.image_size,
+                      num_classes=config.num_classes, dtype=dtype,
+                      use_pallas=False if config.no_pallas else None)
+
+    params = vit.init_params(jax.random.PRNGKey(config.seed), cfg)
+    if config.checkpoint_path:
+        if os.path.isdir(config.checkpoint_path):
+            # vitax checkpoint store dir: restore params subtree only
+            store = CheckpointStore(os.path.dirname(config.checkpoint_path)
+                                    or ".")
+            name = os.path.basename(config.checkpoint_path)
+            from vitax.train import TrainState
+            dummy = TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                               opt_state=(), rng=jax.random.PRNGKey(0))
+            try:
+                params = store.restore(name, dummy).params
+            except Exception:
+                import numpy as np
+                flat_path = os.path.join(config.checkpoint_path, "state.npz")
+                with np.load(flat_path) as flat:
+                    sub = {k[len("params/"):]: v for k, v in flat.items()
+                           if k.startswith("params/")}
+                from vitax.checkpointing.store import _unflatten_into
+                params = _unflatten_into(params, sub)
+        else:
+            loaded = load_checkpoint(config.checkpoint_path, cfg)
+            if "classifier" not in loaded:
+                raise ValueError(
+                    "checkpoint head does not match --num-classes "
+                    f"{config.num_classes} (strict eval, src/eval.py:34-38)")
+            params = jax.tree.map(jnp.asarray, loaded)
+
+    loader = get_dataloader(config.dataset, split="val",
+                            data_dir=config.data_dir,
+                            image_size=config.image_size,
+                            batch_size=config.batch_size,
+                            num_workers=config.num_workers, seed=config.seed)
+
+    eval_step = make_weighted_eval_step(cfg)
+    totals = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0}
+    n = 0.0
+    t0 = time.time()
+    for i, batch in enumerate(loader):
+        images = jnp.asarray(batch.images, cfg.dtype)
+        labels = jnp.asarray(batch.labels)
+        weight = jnp.asarray(batch.weight)
+        metrics = eval_step(params, images, labels, weight)
+        bs = float(weight.sum())
+        for k in totals:
+            totals[k] += float(metrics[k]) * bs
+        n += bs
+        if i % 50 == 0:
+            print(f"batch {i}/{len(loader)}: "
+                  f"acc1={totals['acc1'] / max(n, 1):.4f}", flush=True)
+    dt = time.time() - t0
+    result = {k: v / max(n, 1) for k, v in totals.items()}
+    print(f"Top-1 accuracy: {result['acc1']:.4f}")
+    print(f"Top-5 accuracy: {result['acc5']:.4f}")
+    print(f"({n:.0f} images in {dt:.1f}s, {n / dt:.0f} img/s)")
+    return result
+
+
+if __name__ == "__main__":
+    main()

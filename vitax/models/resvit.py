@@ -1,0 +1,476 @@
+"""Residual ViT (res-vit) — TPU-native functional implementation.
+
+Capability-parity rebuild of the reference `Transformer`
+(res-vit/model.py:532-702) and its sub-modules:
+
+* `RouterModule`            (res-vit/model.py:133-211) — DynamicViT
+  local-global router; gumbel-softmax straight-through (train) / argmax (eval)
+* `Attention`               (:213-299) — wq/wk/wv/wo with optional LoRA
+  adapters and GQA `repeat_kv` scaffolding
+* `FeedForward`             (:302-318)
+* `LowRankApproximator`/`BlockPathApproximators` (:320-368) — per-path-id
+  rank-r experts, here **stacked** into `[E, D, r]` batched matmuls merged by
+  path-id masks (no boolean indexing — XLA-friendly dense compute)
+* `TransformerBlock`        (:371-529) — teacher/student dual path, routed
+  where-merge
+* losses: `DistillLoss` (:40-59), `ActiveLoss` (:61-85)
+
+One code path serves training and inference: the reference's inference-time
+per-sample gather loop (res-vit/model.py:503-529) computes, for active
+tokens, exactly what the masked training formulation (:474-492) computes —
+attention is per-query over the same KV set and the FFN is per-token — so
+vitax runs the masked form with argmax routing at eval. Output equivalence is
+proven against the reference in tests/test_parity_resvit.py.
+
+Parameters are a pytree: per-layer dicts in a list (layers are heterogeneous
+— block heads carry router + approximator params). Weight layout is
+JAX-native `[in, out]`; the std-ViT → res-vit checkpoint remap lives in
+vitax.checkpointing.resvit_convert.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vitax.core.config import ResViTConfig
+from vitax.models.resvit_utils import lra_path_ids, path_id_weights
+from vitax.ops import layer_norm, patchify_matmul
+from vitax.ops.attention import multi_head_attention
+from vitax.ops.mlp import gelu_exact
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Layer roles (res-vit/model.py:394-412)
+# ---------------------------------------------------------------------------
+
+def layer_roles(cfg: ResViTConfig) -> List[Dict[str, int]]:
+    """Static per-layer routing metadata: plain vs routed, block head/pos."""
+    roles = []
+    for lid in range(cfg.n_layers):
+        if not cfg.use_reslr or lid < cfg.dynamic_start_layer:
+            roles.append({"routed": False})
+            continue
+        off = lid - cfg.dynamic_start_layer
+        roles.append({
+            "routed": True,
+            "is_block_head": off % cfg.block_size == 0,
+            "block_id": off // cfg.block_size,
+            "block_pos": off % cfg.block_size,
+        })
+    return roles
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, d_in, d_out, pdt):
+    """torch nn.Linear default: kaiming-uniform(a=√5) ≡ U(±1/√d_in) for both
+    weight and bias."""
+    bound = 1.0 / math.sqrt(d_in)
+    kw, kb = jax.random.split(key)
+    return {
+        "kernel": jax.random.uniform(kw, (d_in, d_out), jnp.float32,
+                                     -bound, bound).astype(pdt),
+        "bias": jax.random.uniform(kb, (d_out,), jnp.float32,
+                                   -bound, bound).astype(pdt),
+    }
+
+
+def _normal_linear(key, d_in, d_out, pdt, std=0.01, bias=False):
+    p = {"kernel": (jax.random.normal(key, (d_in, d_out), jnp.float32) * std
+                    ).astype(pdt)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), pdt)
+    return p
+
+
+def _ln_init(d, pdt):
+    return {"scale": jnp.ones((d,), pdt), "bias": jnp.zeros((d,), pdt)}
+
+
+def init_router(key, cfg: ResViTConfig) -> Params:
+    """RouterModule params (res-vit/model.py:146-167), incl. the keep-biased
+    final-layer init: pass-path bias 0.0, keep-path bias 5.0."""
+    d, hd, bs = cfg.dim, cfg.dynamic_router_hdim, cfg.block_size
+    pdt = cfg.param_dtype
+    ks = jax.random.split(key, 4)
+    out_final = _normal_linear(ks[3], hd // 2, bs * 2, pdt, std=0.01, bias=True)
+    bias = jnp.tile(jnp.asarray([0.0, 5.0], jnp.float32), bs).astype(pdt)
+    out_final["bias"] = bias
+    return {
+        "in_norm": _ln_init(d, pdt),
+        "in_proj": _linear_init(ks[0], d, hd, pdt),
+        "out1": _linear_init(ks[1], 2 * hd, hd, pdt),
+        "out2": _linear_init(ks[2], hd, hd // 2, pdt),
+        "out3": out_final,
+    }
+
+
+def init_approximators(key, cfg: ResViTConfig) -> Params:
+    """Stacked LowRankApproximators: E = 2^block_size slots (the all-keep slot
+    exists but is never addressed — keeps shapes static), each N(0, 0.01)
+    down/up with no bias (res-vit/model.py:320-347)."""
+    e = 2 ** cfg.block_size
+    d, r = cfg.dim, cfg.low_rank_dim
+    pdt = cfg.param_dtype
+    kd, ku = jax.random.split(key)
+    return {
+        "down": (jax.random.normal(kd, (e, d, r), jnp.float32) * 0.01).astype(pdt),
+        "up": (jax.random.normal(ku, (e, r, d), jnp.float32) * 0.01).astype(pdt),
+    }
+
+
+def init_layer(key, cfg: ResViTConfig, role: Dict) -> Params:
+    d, m = cfg.dim, cfg.mlp_dim
+    kv_dim = cfg.head_dim * (cfg.n_kv_heads or cfg.n_heads)
+    pdt = cfg.param_dtype
+    ks = jax.random.split(key, 12)
+    p: Params = {
+        "attention_norm": _ln_init(d, pdt),
+        "ffn_norm": _ln_init(d, pdt),
+        "attention": {
+            "wq": _linear_init(ks[0], d, d, pdt),
+            "wk": _linear_init(ks[1], d, kv_dim, pdt),
+            "wv": _linear_init(ks[2], d, kv_dim, pdt),
+            "wo": _linear_init(ks[3], d, d, pdt),
+        },
+        "feed_forward": {
+            "fc1": _linear_init(ks[4], d, m, pdt),
+            "fc2": _linear_init(ks[5], m, d, pdt),
+        },
+    }
+    if cfg.use_lora:
+        r = cfg.lora_rank
+        p["attention"]["lora_q"] = {
+            "a": _normal_linear(ks[6], d, r, pdt),
+            "b": _normal_linear(ks[7], r, d, pdt)}
+        p["attention"]["lora_k"] = {
+            "a": _normal_linear(ks[8], d, r, pdt),
+            "b": _normal_linear(ks[9], r, kv_dim, pdt)}
+        p["attention"]["lora_v"] = {
+            "a": _normal_linear(ks[10], d, r, pdt),
+            "b": _normal_linear(ks[11], r, kv_dim, pdt)}
+    if role.get("routed") and role.get("is_block_head"):
+        kr, ka = jax.random.split(jax.random.fold_in(key, 99))
+        p["router"] = init_router(kr, cfg)
+        p["approximators"] = init_approximators(ka, cfg)
+    return p
+
+
+def init_params(key: jax.Array, cfg: ResViTConfig) -> Params:
+    d = cfg.dim
+    pdt = cfg.param_dtype
+    ph, pw = cfg.patch_size
+    roles = layer_roles(cfg)
+    keys = jax.random.split(key, cfg.n_layers + 4)
+    fan_in = ph * pw * 3
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "embedding": {
+            "kernel": jax.random.uniform(keys[0], (ph, pw, 3, d), jnp.float32,
+                                         -bound, bound).astype(pdt),
+            "bias": jax.random.uniform(jax.random.fold_in(keys[0], 1), (d,),
+                                       jnp.float32, -bound, bound).astype(pdt),
+        },
+        "cls_token": jnp.zeros((1, 1, d), pdt),
+        "pos_embedding": jax.random.normal(
+            keys[1], (1, cfg.num_patches + 1, d), jnp.float32).astype(pdt),
+        "layers": [init_layer(keys[2 + i], cfg, roles[i])
+                   for i in range(cfg.n_layers)],
+        "norm": _ln_init(d, pdt),
+        "classifier": _linear_init(keys[-1], d, cfg.num_classes, pdt),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+# ---------------------------------------------------------------------------
+
+def _linear(x, p, dtype=None):
+    dt = dtype or x.dtype
+    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(dt),
+                   preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(dt)
+
+
+def _lora(x, p):
+    return _linear(_linear(x, p["a"]), p["b"])
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """[B,S,Hkv,Hd] → [B,S,Hkv*n_rep,Hd] (res-vit/model_utils.py:3-12)."""
+    if n_rep == 1:
+        return x
+    b, s, h, hd = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, hd)) \
+        .reshape(b, s, h * n_rep, hd)
+
+
+def attention(x: jnp.ndarray, p: Params, cfg: ResViTConfig) -> jnp.ndarray:
+    """Self-attention, fp32 softmax (res-vit/model.py:237-299). The
+    asymmetric Q-subset inference variant is realized by the caller's
+    where-merge — all queries are computed (same per-query results)."""
+    b, s, _ = x.shape
+    h, hkv, hd = cfg.n_heads, (cfg.n_kv_heads or cfg.n_heads), cfg.head_dim
+    q = _linear(x, p["wq"])
+    k = _linear(x, p["wk"])
+    v = _linear(x, p["wv"])
+    if cfg.use_lora and "lora_q" in p:
+        q = q + _lora(x, p["lora_q"])
+        k = k + _lora(x, p["lora_k"])
+        v = v + _lora(x, p["lora_v"])
+    q = q.reshape(b, s, h, hd)
+    k = _repeat_kv(k.reshape(b, s, hkv, hd), h // hkv)
+    v = _repeat_kv(v.reshape(b, s, hkv, hd), h // hkv)
+    out = multi_head_attention(q, k, v, use_pallas=cfg.use_pallas)
+    return _linear(out.reshape(b, s, h * hd), p["wo"])
+
+
+def feed_forward(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    h = _linear(x, p["fc1"])
+    return _linear(gelu_exact(h), p["fc2"])
+
+
+def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig) -> jnp.ndarray:
+    """Pre-LN block (res-vit/model.py:436-444)."""
+    h = x + attention(layer_norm(x, p["attention_norm"]["scale"],
+                                 p["attention_norm"]["bias"], cfg.norm_eps,
+                                 use_pallas=cfg.use_pallas), p["attention"], cfg)
+    return h + feed_forward(layer_norm(h, p["ffn_norm"]["scale"],
+                                       p["ffn_norm"]["bias"], cfg.norm_eps,
+                                       use_pallas=cfg.use_pallas),
+                            p["feed_forward"])
+
+
+def router_forward(x: jnp.ndarray, p: Params, cfg: ResViTConfig, *,
+                   train: bool, rng: Optional[jax.Array]
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RouterModule (res-vit/model.py:175-211).
+
+    Returns (hard_routing [B,N,bs,2], path_ids [B,N] int32,
+    entropy scalar, soft_routing [B,N,bs,2])."""
+    b, n, _ = x.shape
+    bs = cfg.block_size
+    res = cfg.dynamic_reserve_initials
+
+    e = layer_norm(x, p["in_norm"]["scale"], p["in_norm"]["bias"],
+                   cfg.norm_eps, use_pallas=cfg.use_pallas)
+    e = gelu_exact(_linear(e, p["in_proj"]))
+    patch = e[:, res:, :] if res > 0 else e
+    g = jnp.mean(patch.astype(jnp.float32), axis=1, keepdims=True).astype(e.dtype)
+    fused = jnp.concatenate([e, jnp.broadcast_to(g, e.shape)], axis=-1)
+    h = gelu_exact(_linear(fused, p["out1"]))
+    h = gelu_exact(_linear(h, p["out2"]))
+    logits = _linear(h, p["out3"]).astype(jnp.float32).reshape(b, n, bs, 2)
+
+    soft = jax.nn.softmax(logits, axis=-1)
+    probs = soft[:, res:]
+    entropy = -jnp.sum(probs * jnp.log(probs + 1e-8)) / (b * (n - res) * bs)
+
+    if train:
+        if rng is None:
+            raise ValueError("router needs an rng in training mode")
+        gumbel = jax.random.gumbel(rng, logits.shape, jnp.float32)
+        y_soft = jax.nn.softmax(logits + gumbel, axis=-1)  # tau = 1
+        hard = jax.nn.one_hot(jnp.argmax(y_soft, axis=-1), 2, dtype=jnp.float32)
+        # straight-through (torch F.gumbel_softmax(hard=True) semantics)
+        hard = hard + y_soft - jax.lax.stop_gradient(y_soft)
+    else:
+        hard = jax.nn.one_hot(jnp.argmax(soft, axis=-1), 2, dtype=jnp.float32)
+
+    if res > 0:
+        forced = jnp.zeros((b, res, bs, 2), hard.dtype).at[..., 1].set(1.0)
+        hard = jnp.concatenate([forced, hard[:, res:]], axis=1)
+
+    weights = jnp.asarray(path_id_weights(bs), jnp.float32)
+    path_ids = jnp.einsum("bnk,k->bn", jax.lax.stop_gradient(hard[..., 1]),
+                          weights).astype(jnp.int32)
+    return hard, path_ids, entropy, soft
+
+
+def apply_approximators(x: jnp.ndarray, p: Params, path_ids: jnp.ndarray,
+                        lora_ids: List[int]) -> jnp.ndarray:
+    """BlockPathApproximators (res-vit/model.py:349-368) as dense stacked
+    matmuls + where-merge: for each path id k in `lora_ids` (static), tokens
+    with that id get x += up_k(down_k(x))."""
+    if not lora_ids:
+        return x
+    dt = x.dtype
+    for k in lora_ids:
+        down = p["down"][k].astype(dt)
+        up = p["up"][k].astype(dt)
+        delta = jnp.einsum("bnd,dr->bnr", x, down,
+                           preferred_element_type=jnp.float32).astype(dt)
+        delta = jnp.einsum("bnr,rd->bnd", delta, up,
+                           preferred_element_type=jnp.float32).astype(dt)
+        mask = (path_ids == k)[..., None]
+        x = jnp.where(mask, x + delta, x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def embed(params: Params, images: jnp.ndarray, cfg: ResViTConfig) -> jnp.ndarray:
+    """Patchify + cls + pos (res-vit/model.py:602-607); NHWC input."""
+    tokens = patchify_matmul(images, params["embedding"]["kernel"],
+                             params["embedding"]["bias"], dtype=cfg.dtype)
+    b = tokens.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(cfg.dtype),
+                           (b, 1, tokens.shape[-1]))
+    x = jnp.concatenate([cls, tokens], axis=1)
+    pos = params["pos_embedding"]
+    n = min(x.shape[1], pos.shape[1])  # length-mismatch slice (:93-97)
+    x32 = x.astype(jnp.float32)
+    out = x32.at[:, :n].add(pos[:, :n].astype(jnp.float32))
+    return out.astype(cfg.dtype)
+
+
+def apply(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
+          train: bool = False, rng: Optional[jax.Array] = None
+          ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Forward pass: NHWC images → (student logits, aux dict).
+
+    aux: d_loss_sum, r_entropy, acts [B,N,L], soft_probs [B,N,n_heads·bs]
+    (concat over block heads, or None), routing_maps {block_id: [B,N,bs]},
+    teacher_logits (train only). Losses live in the train step — the model is
+    functional (the reference computes them inside forward,
+    res-vit/model.py:679-702)."""
+    roles = layer_roles(cfg)
+    lra = lra_path_ids(cfg.block_size) if cfg.use_reslr else None
+
+    x = embed(params, images, cfg)
+    student = x
+    teacher = x
+    b, n, _ = x.shape
+
+    acts: List[jnp.ndarray] = []
+    soft_probs: List[jnp.ndarray] = []
+    routing_maps: Dict[int, jnp.ndarray] = {}
+    d_loss = jnp.zeros((), jnp.float32)
+    r_entropy = jnp.zeros((), jnp.float32)
+    block_ctx: Dict[str, Any] = {}
+
+    for lid, role in enumerate(roles):
+        lp = params["layers"][lid]
+        if not role["routed"]:
+            out = plain_block(student, lp, cfg)
+            # plain layers collapse teacher onto the student path — the
+            # reference returns (out, out, ...) (res-vit/model.py:440-444)
+            teacher = out
+            student = out
+            acts.append(jnp.ones((b, n, 1), jnp.float32))
+            continue
+
+        if role["is_block_head"]:
+            head_rng = (jax.random.fold_in(rng, lid)
+                        if rng is not None else None)
+            hard, path_ids, entropy, soft = router_forward(
+                student, lp["router"], cfg, train=train, rng=head_rng)
+            block_ctx = {
+                "hard": hard[..., 1],          # [B,N,bs] keep-bits
+                "path_ids": path_ids,          # [B,N]
+                "approx_params": lp["approximators"],
+                "block_id": role["block_id"],
+            }
+            r_entropy = r_entropy + entropy
+            routing_maps[role["block_id"]] = jax.lax.stop_gradient(
+                block_ctx["hard"])
+            soft_probs.append(soft[..., 1])    # [B,N,bs] keep-prob
+
+        pos = role["block_pos"]
+        w = block_ctx["hard"][:, :, pos:pos + 1]
+        lora_ids, trans_ids, _ = lra[pos]
+        path_ids = block_ctx["path_ids"]
+        attn_mask = jnp.isin(path_ids, jnp.asarray(trans_ids, jnp.int32)
+                             )[..., None]
+
+        if train:
+            teacher = plain_block(teacher, lp, cfg)
+        transformer_out = plain_block(student, lp, cfg)
+        merged = jnp.where(attn_mask, transformer_out, student)
+        student_out = apply_approximators(
+            merged, block_ctx["approx_params"], path_ids, lora_ids)
+
+        if train:
+            s_cls = student_out[:, 0].astype(jnp.float32)
+            t_cls = jax.lax.stop_gradient(teacher[:, 0].astype(jnp.float32))
+            d_loss = d_loss + jnp.mean((s_cls - t_cls) ** 2)
+
+        student = student_out
+        acts.append(w)
+
+    student = layer_norm(student, params["norm"]["scale"],
+                         params["norm"]["bias"], cfg.norm_eps,
+                         use_pallas=cfg.use_pallas)
+    logits = _linear(student[:, 0].astype(jnp.float32), params["classifier"],
+                     dtype=jnp.float32)
+
+    aux: Dict[str, Any] = {
+        "d_loss": d_loss,
+        "r_entropy": r_entropy,
+        "acts": jnp.concatenate(acts, axis=-1),
+        "soft_probs": (jnp.concatenate(soft_probs, axis=-1)
+                       if soft_probs else None),
+        "routing_maps": routing_maps,
+    }
+    return logits, aux
+
+
+def apply_nchw(params: Params, images_nchw: jnp.ndarray, cfg: ResViTConfig,
+               **kw):
+    return apply(params, jnp.transpose(images_nchw, (0, 2, 3, 1)), cfg, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Losses (computed in the train step; math from res-vit/model.py:40-85,684-694)
+# ---------------------------------------------------------------------------
+
+def active_loss(soft_probs: jnp.ndarray, target: float,
+                reserve_initials: int) -> jnp.ndarray:
+    """MSE(mean keep-prob over non-reserved tokens, target)."""
+    a = soft_probs[:, reserve_initials:, :].astype(jnp.float32)
+    return (jnp.mean(a) - target) ** 2
+
+
+def active_metric(acts: jnp.ndarray, target: float,
+                  reserve_initials: int) -> Dict[str, jnp.ndarray]:
+    a = acts[:, reserve_initials:, :]
+    return {"non_low_rank_ratio": jnp.mean(a),
+            "current_target": jnp.asarray(target)}
+
+
+def trainable_mask(params: Params, cfg: ResViTConfig) -> Params:
+    """LoRA freezing rules (res-vit/model.py:572-584 + LayerNorm wrapper
+    :119-130): when use_lora, base projections, patch embedding, pos
+    embedding, feed-forward and every LayerNorm are frozen; LoRA adapters,
+    router linears, approximators, cls token and classifier train."""
+    if not cfg.use_lora:
+        return jax.tree.map(lambda _: True, params)
+
+    def walk(path: str, tree):
+        if isinstance(tree, dict):
+            return {k: walk(f"{path}/{k}", v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(f"{path}/{i}", v) for i, v in enumerate(tree)]
+        frozen = (
+            path.startswith("/embedding") or
+            path.startswith("/pos_embedding") or
+            "/feed_forward/" in path or
+            "/attention/wq/" in path or "/attention/wk/" in path or
+            "/attention/wv/" in path or "/attention/wo/" in path or
+            "norm" in path  # attention_norm, ffn_norm, router in_norm, final
+        )
+        return not frozen
+
+    return walk("", params)

@@ -1,0 +1,209 @@
+"""Fine-tune CLI — the vitax counterpart of src/train.py.
+
+Same observable behavior (src/train.py:84-195): build model from arch preset,
+load pretrained checkpoint with classifier re-init on class mismatch, epochs =
+train_steps // len(train_loader), per-epoch train/valid with top-1/top-5,
+save `current`/`best` checkpoints keyed on val acc1 — plus vitax capabilities
+the reference lacks: exact resume, data+tensor-parallel mesh, bf16 compute,
+orbax checkpoints and `.pth` export.
+
+Run: `python -m vitax.train_cli --dataset CIFAR100 --model-arch b16 ...`
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitax import cli
+from vitax.checkpointing import CheckpointStore, export_pth, load_checkpoint
+from vitax.core.config import arch_config
+from vitax.core.prng import set_seed
+from vitax.data import get_dataloader
+from vitax.models import vit
+from vitax.parallel import mesh as pmesh
+from vitax.train import (TrainState, create_train_state, make_eval_step,
+                         make_train_step, onecycle_lr, onecycle_momentum,
+                         sgd_momentum)
+from vitax.utils import ExperimentWriter, MetricTracker, print_memory_usage
+
+
+def _put(state, m):
+    pshard = pmesh.vit_param_shardings(state.params, m)
+    return state._replace(
+        params=jax.device_put(state.params, pshard),
+        opt_state=jax.device_put(
+            state.opt_state,
+            pmesh.opt_state_shardings(state.opt_state, state.params, pshard, m)),
+        step=jax.device_put(state.step, pmesh.replicated(m)),
+        rng=jax.device_put(state.rng, pmesh.replicated(m)),
+    )
+
+
+def train_epoch(epoch, state, train_step, loader, m, writer, tracker,
+                print_freq=100):
+    tracker.reset()
+    loader.set_epoch(epoch)
+    t0 = time.time()
+    for i, batch in enumerate(loader):
+        if batch.weight.sum() < len(batch.weight):
+            continue  # partial final train batch: skip like drop_last
+        images = jax.device_put(jnp.asarray(batch.images, state.params[
+            "cls_token"].dtype), pmesh.batch_sharding(m))
+        labels = jax.device_put(jnp.asarray(batch.labels),
+                                pmesh.batch_sharding(m))
+        state, metrics = train_step(state, images, labels)
+        step = int(state.step)
+        writer.set_step(step, "train")
+        if i % print_freq == print_freq - 1:
+            mh = {k: float(v) for k, v in metrics.items()}
+            for k, v in mh.items():
+                tracker.update(k, v)
+                writer.add_scalar(k, v)
+            rate = (i + 1) * len(batch.weight) / (time.time() - t0)
+            print(f"epoch {epoch} step {step}: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in mh.items())
+                  + f" ({rate:.0f} img/s)", flush=True)
+    return state, tracker.result()
+
+
+def valid_epoch(epoch, state, eval_step, loader, writer, tracker):
+    tracker.reset()
+    totals = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0}
+    n = 0
+    for batch in loader:
+        images = jnp.asarray(batch.images,
+                             state.params["cls_token"].dtype)
+        labels = jnp.asarray(batch.labels)
+        weight = jnp.asarray(batch.weight)
+        metrics = eval_step(state.params, images, labels, weight)
+        bs = float(weight.sum())
+        for k in totals:
+            totals[k] += float(metrics[k]) * bs
+        n += bs
+    result = {k: v / max(n, 1) for k, v in totals.items()}
+    writer.set_step(int(state.step), "valid")
+    for k, v in result.items():
+        tracker.update(k, v)
+        writer.add_scalar(k, v)
+    print(f"epoch {epoch} valid: "
+          + " ".join(f"{k}={v:.4f}" for k, v in result.items()), flush=True)
+    return result
+
+
+def make_weighted_eval_step(cfg):
+    """Eval step with a padding mask so the padded final batch counts only
+    real samples."""
+    from vitax.train.steps import topk_accuracy
+
+    def step_fn(params, images, labels, weight):
+        logits = vit.apply(params, images, cfg, train=False)
+        logits32 = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits32, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        wsum = jnp.maximum(weight.sum(), 1.0)
+        out = {"loss": (nll * weight).sum() / wsum}
+        _, top = jax.lax.top_k(logits32, 5)
+        correct = top == labels[:, None]
+        out["acc1"] = (correct[:, 0] * weight).sum() / wsum
+        out["acc5"] = (jnp.any(correct, axis=-1) * weight).sum() / wsum
+        return out
+
+    return jax.jit(step_fn)
+
+
+def main(argv=None):
+    config = cli.get_train_config(argv)
+    cli.print_config(config)
+    root_key = set_seed(config.seed)
+
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    cfg = arch_config(config.model_arch, image_size=config.image_size,
+                      num_classes=config.num_classes, dtype=dtype,
+                      remat=config.remat,
+                      use_pallas=False if config.no_pallas else None)
+
+    # model init / pretrained load (head re-init on class mismatch,
+    # src/train.py:117-121)
+    params = vit.init_params(root_key, cfg)
+    if config.checkpoint_path:
+        loaded = load_checkpoint(config.checkpoint_path, cfg)
+        if "classifier" not in loaded:
+            print(f"re-initializing classifier head for "
+                  f"{config.num_classes} classes")
+            loaded["classifier"] = params["classifier"]
+        params = jax.tree.map(jnp.asarray, loaded)
+
+    # data
+    common = dict(data_dir=config.data_dir, image_size=config.image_size,
+                  batch_size=config.batch_size,
+                  num_workers=config.num_workers, seed=config.seed)
+    train_loader = get_dataloader(config.dataset, split="train", **common)
+    valid_loader = get_dataloader(config.dataset, split="val", **common)
+
+    # optimizer: SGD(momentum=0.9) + OneCycle (src/train.py:154-163)
+    total = config.train_steps
+    pct = config.warmup_steps / total
+    tx = sgd_momentum(onecycle_lr(config.lr, total, pct),
+                      momentum_schedule=onecycle_momentum(total, pct),
+                      weight_decay=config.wd)
+    state = create_train_state(params, tx, jax.random.fold_in(root_key, 1))
+
+    # mesh: data (+ optional tensor) parallel
+    devices = jax.devices()
+    if config.n_gpu > 0:
+        devices = devices[:config.n_gpu]
+    m = pmesh.make_mesh(n_data=len(devices) // config.n_model,
+                        n_model=config.n_model, devices=devices)
+    print(f"mesh: {dict(m.shape)} over {len(devices)} {devices[0].platform} "
+          f"device(s)")
+
+    store = CheckpointStore(config.checkpoint_dir)
+    start_epoch = 0
+    best_acc = 0.0
+    if config.resume:
+        rstore = CheckpointStore(config.resume)
+        state = rstore.restore("current", state)
+        meta = rstore.metadata("current")
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        best_acc = float(meta.get("best_acc", 0.0))
+        print(f"resumed from {config.resume} at epoch {start_epoch}")
+
+    writer = ExperimentWriter(
+        config.summary_dir,
+        backend=("swanlab" if config.swanlab else
+                 "tensorboard" if config.tensorboard else "none"),
+        exp_name=config.exp_name)
+    train_tracker = MetricTracker("loss", "acc1", "acc5")
+    valid_tracker = MetricTracker("loss", "acc1", "acc5")
+
+    epochs = max(1, config.train_steps // max(1, len(train_loader)))
+    print(f"training {epochs} epochs x {len(train_loader)} steps")
+
+    with m:
+        state = _put(state, m)
+        train_step = make_train_step(cfg, tx, donate=True)
+        eval_step = make_weighted_eval_step(cfg)
+        for epoch in range(start_epoch, epochs):
+            state, tr = train_epoch(epoch, state, train_step, train_loader,
+                                    m, writer, train_tracker)
+            vr = valid_epoch(epoch, state, eval_step, valid_loader, writer,
+                             valid_tracker)
+            is_best = vr["acc1"] > best_acc
+            best_acc = max(best_acc, vr["acc1"])
+            store.save_model(state, epoch, is_best=is_best,
+                             metrics={"best_acc": best_acc, **vr})
+            if is_best and config.export_pth:
+                export_pth(jax.device_get(state.params),
+                           f"{config.checkpoint_dir}/best.pth")
+        print_memory_usage(state.params, state.opt_state)
+    writer.close()
+    print(f"done; best acc1 = {best_acc:.4f}")
+    return best_acc
+
+
+if __name__ == "__main__":
+    main()
