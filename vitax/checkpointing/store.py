@@ -45,6 +45,34 @@ def _unflatten_into(tree: Any, flat: Dict[str, np.ndarray]) -> Any:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def _nest(flat: Dict[str, np.ndarray]) -> Any:
+    """'a/b/0/c' keys → nested dicts (list indices stay dict keys — callers
+    coerce by structure when needed)."""
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return root
+
+
+def coerce_like(target: Any, got: Any) -> Any:
+    """Reshape a restored tree (dicts, possibly with stringified list
+    indices) into the container structure of `target`."""
+    if isinstance(target, dict):
+        return {k: coerce_like(v, got[k]) for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        items = []
+        for i, t in enumerate(target):
+            g = got[i] if isinstance(got, (list, tuple)) else got[str(i)]
+            items.append(coerce_like(t, g))
+        return type(target)(items) if isinstance(target, tuple) else items
+    arr = np.asarray(got)
+    return arr.astype(np.asarray(target).dtype).reshape(np.shape(target))
+
+
 class CheckpointStore:
     """Directory of named checkpoints, each one state pytree + metadata."""
 
@@ -88,6 +116,23 @@ class CheckpointStore:
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(path, target=target)
+
+    def restore_params(self, name: str) -> Any:
+        """Structure-free restore of the `params` subtree only — for eval
+        CLIs that have no optimizer state to reconstruct."""
+        path = self._path(name)
+        npz = os.path.join(path, "state.npz")
+        if os.path.exists(npz):
+            with np.load(npz) as flat:
+                out: Dict[str, Any] = {}
+                for k, v in flat.items():
+                    if k.startswith("params/"):
+                        out[k[len("params/"):]] = v
+                return _nest(out)
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ptc:
+            restored = ptc.restore(path)
+        return restored["params"]
 
     def metadata(self, name: str) -> dict:
         p = os.path.join(self._path(name), "vitax_meta.json")

@@ -15,7 +15,7 @@ import argparse
 from vitax.core.config import num_classes_for_dataset
 from vitax.utils.experiment import process_config
 
-ARCHES = ["b16", "b32", "l16", "l32", "h14"]
+ARCHES = ["tiny", "b16", "b32", "l16", "l32", "h14"]
 DATASETS = ["CIFAR10", "CIFAR100", "ImageNet", "TinyImageNet", "Synthetic"]
 
 
@@ -44,6 +44,8 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
                    help="disable fused Pallas kernels (pure-XLA ops)")
     p.add_argument("--n-model", type=int, default=1,
                    help="tensor-parallel mesh axis size")
+    p.add_argument("--synthetic-samples", type=int, default=512,
+                   help="sample count for --dataset Synthetic")
 
 
 def get_train_config(argv=None):

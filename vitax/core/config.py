@@ -121,6 +121,8 @@ class ResViTConfig:
 # (src/config.py:57-104, res-vit/config.py:15-44). All presets use
 # dropout_rate = attn_dropout_rate = 0.0 as the reference does.
 ARCH_PRESETS = {
+    # "tiny" is vitax-only: CPU-runnable smoke/integration tests
+    "tiny": dict(patch=16, emb_dim=96, mlp_dim=192, num_heads=3, num_layers=3),
     "b16": dict(patch=16, emb_dim=768, mlp_dim=3072, num_heads=12, num_layers=12),
     "b32": dict(patch=32, emb_dim=768, mlp_dim=3072, num_heads=12, num_layers=12),
     "l16": dict(patch=16, emb_dim=1024, mlp_dim=4096, num_heads=16, num_layers=24),

@@ -38,22 +38,12 @@ def main(argv=None):
     if config.checkpoint_path:
         if os.path.isdir(config.checkpoint_path):
             # vitax checkpoint store dir: restore params subtree only
+            from vitax.checkpointing.store import coerce_like
             store = CheckpointStore(os.path.dirname(config.checkpoint_path)
                                     or ".")
             name = os.path.basename(config.checkpoint_path)
-            from vitax.train import TrainState
-            dummy = TrainState(step=jnp.zeros([], jnp.int32), params=params,
-                               opt_state=(), rng=jax.random.PRNGKey(0))
-            try:
-                params = store.restore(name, dummy).params
-            except Exception:
-                import numpy as np
-                flat_path = os.path.join(config.checkpoint_path, "state.npz")
-                with np.load(flat_path) as flat:
-                    sub = {k[len("params/"):]: v for k, v in flat.items()
-                           if k.startswith("params/")}
-                from vitax.checkpointing.store import _unflatten_into
-                params = _unflatten_into(params, sub)
+            restored = store.restore_params(name)
+            params = jax.tree.map(jnp.asarray, coerce_like(params, restored))
         else:
             loaded = load_checkpoint(config.checkpoint_path, cfg)
             if "classifier" not in loaded:
@@ -62,11 +52,14 @@ def main(argv=None):
                     f"{config.num_classes} (strict eval, src/eval.py:34-38)")
             params = jax.tree.map(jnp.asarray, loaded)
 
+    extra = ({"num_samples": config.synthetic_samples}
+             if config.dataset == "Synthetic" else {})
     loader = get_dataloader(config.dataset, split="val",
                             data_dir=config.data_dir,
                             image_size=config.image_size,
                             batch_size=config.batch_size,
-                            num_workers=config.num_workers, seed=config.seed)
+                            num_workers=config.num_workers, seed=config.seed,
+                            **extra)
 
     eval_step = make_weighted_eval_step(cfg)
     totals = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0}

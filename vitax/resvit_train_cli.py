@@ -1,0 +1,281 @@
+"""Residual-ViT fine-tune CLI — the vitax counterpart of res-vit/train.py.
+
+Same observable behavior: AdamW(+warmup-cosine or cosine-annealing), total =
+λc·c + λa·a + λd·d with constant λ (res-vit/train.py:51-52,296), grad-clip
+1.0, LoRA freezing of base weights, per-layer activation-rate logging,
+routing-viz PNGs per epoch, best-checkpoint on val acc1 — with the reference's
+exact flag surface including its hyphen/underscore quirks
+(res-vit/config.py:122-184: `--use_lora` but `--batch-size`).
+
+Also writes the reference's JSON diagnostics (res-vit/utils.py:182-205,
+440-441,445-485): model_structure.json, weight_mapping_log.json,
+trainable_weights_info.json.
+
+Run: `python -m vitax.resvit_train_cli --dataset CIFAR100 ...`
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitax.checkpointing import CheckpointStore, load_checkpoint
+from vitax.checkpointing.resvit_convert import resvit_params_from_vit
+from vitax.core.config import (arch_config, num_classes_for_dataset,
+                               resvit_arch_config)
+from vitax.core.prng import set_seed
+from vitax.data import get_dataloader
+from vitax.models import resvit
+from vitax.train.resvit_steps import (Lambdas, create_state, make_adamw_for,
+                                      make_eval_step, make_train_step)
+from vitax.train.schedules import cosine_annealing_lr, cosine_with_warmup_lr
+from vitax.utils import (ExperimentWriter, MetricTracker, process_config,
+                         tree_bytes, write_json)
+from vitax.utils.routing_viz import save_routing_visualization
+
+DATASETS = ["CIFAR10", "CIFAR100", "ImageNet", "TinyImageNet", "Synthetic"]
+
+
+def get_train_config(argv=None):
+    p = argparse.ArgumentParser("vitax res-vit train")
+    p.add_argument("--exp-name", type=str, default="reslr")
+    p.add_argument("--swanlab", action="store_true")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--model-arch", type=str, default="b16",
+                   choices=["tiny", "b16", "b32", "l16", "l32", "h14"])
+    p.add_argument("--checkpoint-path", type=str, default=None)
+    p.add_argument("--image-size", type=int, default=224,
+                   choices=[32, 64, 224, 384])
+    p.add_argument("--num-workers", type=int, default=1)
+    p.add_argument("--data-dir", type=str, default="data")
+    p.add_argument("--dataset", type=str, default="CIFAR100",
+                   choices=DATASETS)
+    p.add_argument("--patch-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--train-steps", type=int, default=15000)
+    p.add_argument("--warmup-steps", type=int, default=500)
+    p.add_argument("--print-freq", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    # optimizer (res-vit/config.py:146-156)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--wd", type=float, default=0.05)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--eps", type=float, default=1e-8)
+    p.add_argument("--lr-scheduler", type=str, default="cosine_with_warmup",
+                   choices=["cosine", "cosine_with_warmup"])
+    p.add_argument("--min-lr", type=float, default=1e-6)
+    p.add_argument("--clip-grad-norm", type=lambda s: s != "False",
+                   default=True)
+    # lora / reslr (reference's underscore flags kept verbatim)
+    p.add_argument("--use_lora", type=lambda s: s != "False", default=True)
+    p.add_argument("--use_reslr", type=lambda s: s != "False", default=True)
+    p.add_argument("--initial-lambda-active", type=float, default=1e-4)
+    p.add_argument("--initial-lambda-distill", type=float, default=0.01)
+    p.add_argument("--initial-lambda-class", type=float, default=1.0)
+    p.add_argument("--dynamic_active_target", type=float, default=0.6)
+    p.add_argument("--n_heads", type=int, default=12)
+    p.add_argument("--n_kv_heads", type=int, default=12)
+    p.add_argument("--norm_eps", type=float, default=1e-5)
+    p.add_argument("--lora_rank", type=int, default=8)
+    p.add_argument("--dynamic_start_layer", type=int, default=2)
+    p.add_argument("--dynamic_router_hdim", type=int, default=512)
+    p.add_argument("--dynamic_reserve_initials", type=int, default=1)
+    p.add_argument("--low_rank_dim", type=int, default=256)
+    p.add_argument("--block_size", type=int, default=1)
+    p.add_argument("--save-routing-viz", action="store_true")
+    # vitax extras
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--exp-root", type=str, default="experiments")
+    p.add_argument("--synthetic-samples", type=int, default=512)
+    cfg = p.parse_args(argv)
+    cfg.num_classes = num_classes_for_dataset(cfg.dataset)
+    return process_config(cfg, root=cfg.exp_root)
+
+
+def config_to_model_args(c) -> "resvit_arch_config":
+    """res-vit/config.py:68-96 equivalent: argparse config → ResViTConfig."""
+    dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+    return resvit_arch_config(
+        c.model_arch, image_size=c.image_size, num_classes=c.num_classes,
+        n_kv_heads=c.n_kv_heads, norm_eps=c.norm_eps, lora_rank=c.lora_rank,
+        dynamic_active_target=c.dynamic_active_target,
+        dynamic_start_layer=c.dynamic_start_layer,
+        dynamic_router_hdim=c.dynamic_router_hdim,
+        dynamic_reserve_initials=c.dynamic_reserve_initials,
+        low_rank_dim=c.low_rank_dim, block_size=c.block_size,
+        use_lora=c.use_lora, use_reslr=c.use_reslr,
+        dtype=dtype, use_pallas=False if c.no_pallas else None)
+
+
+def _structure_report(params) -> dict:
+    rep = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in path)
+        rep[key] = {"shape": list(np.shape(leaf)),
+                    "dtype": str(np.asarray(leaf).dtype)}
+    return rep
+
+
+def main(argv=None):
+    config = get_train_config(argv)
+    print("----- Configuration -----")
+    for k, v in sorted(vars(config).items()):
+        print(f"{k}: {v}")
+    root_key = set_seed(config.seed)
+
+    cfg = config_to_model_args(config)
+    params = resvit.init_params(root_key, cfg)
+
+    mapping_log = {}
+    if config.checkpoint_path:
+        vit_cfg = arch_config(config.model_arch, image_size=config.image_size,
+                              num_classes=config.num_classes)
+        vit_params = load_checkpoint(config.checkpoint_path, vit_cfg)
+        params, mapping_log = resvit_params_from_vit(vit_params, params, cfg)
+        print(f"loaded pretrained backbone: {len(mapping_log)} tensors mapped")
+    params = jax.tree.map(jnp.asarray, params)
+
+    # JSON diagnostics (res-vit/utils.py:182-205,440-441,445-485)
+    write_json(_structure_report(params),
+               f"{config.result_dir}/model_structure.json")
+    write_json(mapping_log, f"{config.result_dir}/weight_mapping_log.json")
+    mask = resvit.trainable_mask(params, cfg)
+    trainable = {
+        "trainable": [k for k, v in zip(_structure_report(params),
+                                        jax.tree.leaves(mask)) if v],
+        "frozen": [k for k, v in zip(_structure_report(params),
+                                     jax.tree.leaves(mask)) if not v],
+        "trainable_bytes": int(sum(
+            np.size(p) * 4 for p, m in zip(jax.tree.leaves(params),
+                                           jax.tree.leaves(mask)) if m)),
+        "total_bytes": int(tree_bytes(params)),
+    }
+    write_json(trainable, f"{config.result_dir}/trainable_weights_info.json")
+
+    common = dict(data_dir=config.data_dir, image_size=config.image_size,
+                  batch_size=config.batch_size,
+                  num_workers=config.num_workers, seed=config.seed)
+    if config.dataset == "Synthetic":
+        common["num_samples"] = config.synthetic_samples
+    train_loader = get_dataloader(config.dataset, split="train", **common)
+    valid_loader = get_dataloader(config.dataset, split="val", **common)
+
+    epochs = max(1, config.train_steps // max(1, len(train_loader)))
+
+    if config.lr_scheduler == "cosine_with_warmup":
+        lr_sched = cosine_with_warmup_lr(config.lr, config.warmup_steps,
+                                         config.train_steps)
+        per_epoch_lr = False
+    else:  # CosineAnnealingLR stepped per epoch (res-vit/train.py:287-291)
+        lr_sched = cosine_annealing_lr(config.lr, epochs,
+                                       eta_min=config.min_lr)
+        per_epoch_lr = True
+
+    steps_per_epoch = max(1, len(train_loader))
+    if per_epoch_lr:
+        inner = lr_sched
+        lr_sched = lambda step: inner(step // steps_per_epoch)
+
+    tx = make_adamw_for(cfg, params, lr_sched,
+                        betas=(config.beta1, config.beta2), eps=config.eps,
+                        weight_decay=config.wd,
+                        clip_grad_norm=1.0 if config.clip_grad_norm else None)
+    state = create_state(params, tx, jax.random.fold_in(root_key, 7))
+
+    lambdas = Lambdas(classification=config.initial_lambda_class,
+                      active=config.initial_lambda_active,
+                      distill=config.initial_lambda_distill)
+    train_step = make_train_step(cfg, tx, lambdas, donate=True)
+    eval_step = make_eval_step(cfg, lambdas)
+
+    writer = ExperimentWriter(
+        config.summary_dir,
+        backend=("swanlab" if config.swanlab else
+                 "tensorboard" if config.tensorboard else "none"),
+        project=f"vit-{config.dataset}", exp_name=config.exp_name)
+    store = CheckpointStore(config.checkpoint_dir)
+    tracker = MetricTracker()
+
+    best_acc = 0.0
+    print(f"training {epochs} epochs x {steps_per_epoch} steps")
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        for i, batch in enumerate(train_loader):
+            if batch.weight.sum() < len(batch.weight):
+                continue
+            images = jnp.asarray(batch.images, cfg.dtype)
+            labels = jnp.asarray(batch.labels)
+            state, metrics = train_step(state, images, labels)
+            if i % config.print_freq == config.print_freq - 1:
+                mh = {k: np.asarray(v) for k, v in metrics.items()}
+                step = int(state.step)
+                writer.set_step(step, "train")
+                for k, v in mh.items():
+                    if v.ndim == 0:
+                        writer.add_scalar(k, float(v))
+                writer.add_scalars("layer_activation_rates", {
+                    f"layer_{j}": float(v) for j, v in
+                    enumerate(mh["layer_activation_rates"])})
+                rate = (i + 1) * len(batch.weight) / (time.time() - t0)
+                print(f"epoch {epoch} step {step}: "
+                      f"loss={float(mh['loss']):.4f} "
+                      f"c={float(mh['c_loss']):.4f} "
+                      f"a={float(mh['a_loss']):.6f} "
+                      f"d={float(mh['d_loss']):.4f} "
+                      f"H={float(mh['router_entropy']):.4f} "
+                      f"active={float(mh['non_low_rank_ratio']):.3f} "
+                      f"acc1={float(mh['acc1']):.3f} ({rate:.0f} img/s)",
+                      flush=True)
+
+        # validation (res-vit/train.py:321-341)
+        totals: dict = {}
+        n = 0.0
+        viz_done = not config.save_routing_viz
+        for batch in valid_loader:
+            images = jnp.asarray(batch.images, cfg.dtype)
+            labels = jnp.asarray(batch.labels)
+            weight = jnp.asarray(batch.weight)
+            metrics, routing_maps = eval_step(state.params, images, labels,
+                                              weight)
+            bs = float(weight.sum())
+            for k, v in metrics.items():
+                v = np.asarray(v)
+                if v.ndim == 0:
+                    totals[k] = totals.get(k, 0.0) + float(v) * bs
+            n += bs
+            if not viz_done and routing_maps:
+                save_routing_visualization(
+                    batch.images, {k: np.asarray(v)
+                                   for k, v in routing_maps.items()},
+                    epoch, f"{config.result_dir}/routing_viz",
+                    patch_size=config.patch_size,
+                    reserve_initials=config.dynamic_reserve_initials)
+                viz_done = True
+        vr = {k: v / max(n, 1) for k, v in totals.items()}
+        writer.set_step(int(state.step), "valid")
+        for k, v in vr.items():
+            writer.add_scalar(k, v)
+        print(f"epoch {epoch} valid: "
+              + " ".join(f"{k}={v:.4f}" for k, v in sorted(vr.items())),
+              flush=True)
+
+        is_best = vr.get("acc1", 0.0) > best_acc
+        best_acc = max(best_acc, vr.get("acc1", 0.0))
+        store.save_model(state, epoch, is_best=is_best,
+                         metrics={"best_acc": best_acc, **vr})
+    writer.close()
+    print(f"done; best acc1 = {best_acc:.4f}")
+    return best_acc
+
+
+if __name__ == "__main__":
+    main()

@@ -68,5 +68,9 @@ def adamw(lr_schedule: Callable, betas=(0.9, 0.999), eps: float = 1e-8,
     if clip_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
     if mask is not None:
-        tx = optax.masked(tx, mask)
+        # multi_transform (not optax.masked: masked passes raw grads through
+        # for False leaves instead of freezing them)
+        labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx

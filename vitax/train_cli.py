@@ -141,6 +141,8 @@ def main(argv=None):
     common = dict(data_dir=config.data_dir, image_size=config.image_size,
                   batch_size=config.batch_size,
                   num_workers=config.num_workers, seed=config.seed)
+    if config.dataset == "Synthetic":
+        common["num_samples"] = config.synthetic_samples
     train_loader = get_dataloader(config.dataset, split="train", **common)
     valid_loader = get_dataloader(config.dataset, split="val", **common)
 
