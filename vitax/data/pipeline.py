@@ -87,7 +87,7 @@ class DataLoader:
                  num_classes: int, image_size: int = 224, batch_size: int = 32,
                  split: str = "train", seed: int = 42, num_workers: int = 4,
                  flip: Optional[bool] = None, drop_last: bool = False,
-                 prefetch: int = 4):
+                 prefetch: int = 4, use_native: Optional[bool] = None):
         self.items = items
         self.labels = np.asarray(labels, np.int32)
         self.num_classes = num_classes
@@ -99,6 +99,12 @@ class DataLoader:
         self.flip = (split == "train") if flip is None else flip
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # native C++ batch assembly (vitax/native): float-bilinear resize,
+        # ±1 LSB vs PIL's fixed-point — default on for train (speed), off
+        # for val (pixel-exact torchvision parity, SURVEY §7)
+        if use_native is None:
+            use_native = split == "train"
+        self.use_native = (use_native and isinstance(items, np.ndarray))
         self.epoch = 0
         self._n = len(self.labels)
 
@@ -127,6 +133,17 @@ class DataLoader:
     def _make_batch(self, idxs: np.ndarray, flip_bits: np.ndarray) -> Batch:
         bs = self.batch_size
         h, w = self.image_size
+        if self.use_native:
+            from vitax import native
+            images = native.assemble_batch(
+                self.items, idxs, flip_bits.astype(np.uint8), bs, (h, w),
+                num_threads=self.num_workers)
+            if images is not None:
+                labels = np.zeros((bs,), np.int32)
+                weight = np.zeros((bs,), np.float32)
+                labels[:len(idxs)] = self.labels[idxs]
+                weight[:len(idxs)] = 1.0
+                return Batch(images, labels, weight)
         images = np.empty((bs, h, w, 3), np.float32)
         labels = np.zeros((bs,), np.int32)
         weight = np.zeros((bs,), np.float32)
