@@ -37,7 +37,9 @@ class ViTConfig:
     # TPU-specific
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    # False | True (full block remat) | "selective" (keep attention
+    # outputs, recompute LN/MLP — best memory/FLOPs middle ground)
+    remat: object = False
     use_pallas: Optional[bool] = None  # None = auto (True on TPU backends)
 
     @property

@@ -32,9 +32,11 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from vitax.core.config import ViTConfig
-from vitax.ops import layer_norm, mlp_block, multi_head_attention, patchify_matmul
+from vitax.ops import layer_norm, mlp_block, patchify_matmul
+from vitax.ops.attention import multi_head_attention_bhsd
 
 Params = Dict[str, Any]
 
@@ -122,17 +124,24 @@ def _dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
 
 
 def _attention(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
-    """SelfAttention with LinearGeneral-layout weights (src/model.py:66-101)."""
+    """SelfAttention with LinearGeneral-layout weights (src/model.py:66-101).
+
+    QKV are produced directly in the kernel-native [B,H,S,Hd] layout by the
+    projection einsums (the transpose fuses into the matmul's output write),
+    so no standalone HBM transpose surrounds the attention kernel."""
     dt = x.dtype
-    q = jnp.einsum("bnd,dhk->bnhk", x, p["query"]["kernel"].astype(dt),
-                   preferred_element_type=jnp.float32) + p["query"]["bias"].astype(jnp.float32)
-    k = jnp.einsum("bnd,dhk->bnhk", x, p["key"]["kernel"].astype(dt),
-                   preferred_element_type=jnp.float32) + p["key"]["bias"].astype(jnp.float32)
-    v = jnp.einsum("bnd,dhk->bnhk", x, p["value"]["kernel"].astype(dt),
-                   preferred_element_type=jnp.float32) + p["value"]["bias"].astype(jnp.float32)
-    out = multi_head_attention(q.astype(dt), k.astype(dt), v.astype(dt),
-                               use_pallas=cfg.use_pallas)
-    y = jnp.einsum("bnhk,hkd->bnd", out, p["out"]["kernel"].astype(dt),
+    q = jnp.einsum("bnd,dhk->bhnk", x, p["query"]["kernel"].astype(dt),
+                   preferred_element_type=jnp.float32) \
+        + p["query"]["bias"].astype(jnp.float32)[None, :, None, :]
+    k = jnp.einsum("bnd,dhk->bhnk", x, p["key"]["kernel"].astype(dt),
+                   preferred_element_type=jnp.float32) \
+        + p["key"]["bias"].astype(jnp.float32)[None, :, None, :]
+    v = jnp.einsum("bnd,dhk->bhnk", x, p["value"]["kernel"].astype(dt),
+                   preferred_element_type=jnp.float32) \
+        + p["value"]["bias"].astype(jnp.float32)[None, :, None, :]
+    out = multi_head_attention_bhsd(q.astype(dt), k.astype(dt), v.astype(dt),
+                                    use_pallas=cfg.use_pallas)
+    y = jnp.einsum("bhnk,hkd->bnd", out, p["out"]["kernel"].astype(dt),
                    preferred_element_type=jnp.float32) + p["out"]["bias"].astype(jnp.float32)
     return y.astype(dt)
 
@@ -146,6 +155,9 @@ def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
     h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], LN_EPS,
                    use_pallas=cfg.use_pallas)
     h = _attention(h, lp["attn"], cfg)
+    # named residual: the selective-remat policy keeps attention outputs and
+    # recomputes the (cheaper, memory-fat) LN+MLP half of the block
+    h = checkpoint_name(h, "attn_out")
     h = _dropout(h, cfg.dropout_rate, r1, deterministic)
     x = x + h
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], LN_EPS,
@@ -194,21 +206,28 @@ def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
     else:
         layer_rngs = jax.random.split(rng, L)
 
+    def _wrap(f):
+        if cfg.remat == "selective":
+            # keep attention outputs, recompute LN/MLP/GELU in the backward —
+            # drops the fp32 GELU activations (the largest saved tensors, e.g.
+            # f32[12,B,197,3072]) at ~half the recompute cost of full remat
+            return jax.checkpoint(
+                f, policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out"))
+        if cfg.remat:
+            return jax.checkpoint(f)
+        return f
+
     def body(x, inputs):
         lp, r = inputs
         return _block(x, lp, cfg, r, deterministic), None
 
-    if cfg.remat:
-        body = jax.checkpoint(body)
-
     if layer_rngs is None:
         def body_nr(x, lp):
             return _block(x, lp, cfg, None, True), None
-        if cfg.remat:
-            body_nr = jax.checkpoint(body_nr)
-        x, _ = jax.lax.scan(body_nr, x, params["layers"])
+        x, _ = jax.lax.scan(_wrap(body_nr), x, params["layers"])
     else:
-        x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
+        x, _ = jax.lax.scan(_wrap(body), x, (params["layers"], layer_rngs))
 
     x = layer_norm(x, params["encoder_norm"]["scale"],
                    params["encoder_norm"]["bias"], LN_EPS,

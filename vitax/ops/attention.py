@@ -55,3 +55,30 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         if pallas_kernels.attention_supported(q, k, v):
             return pallas_kernels.flash_attention(q, k, v)
     return mha_ref(q, k, v)
+
+
+def mha_ref_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """q,k,v: [B, H, S, Hd] → [B, H, S, Hd]. Softmax in fp32."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / (head_dim ** 0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax_nn_softmax_fp32(scores)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def multi_head_attention_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              use_pallas: Optional[bool] = None
+                              ) -> jnp.ndarray:
+    """Fused attention in the kernel-native [B,H,S,Hd] layout — produce QKV
+    directly in this layout from the projection einsum so no HBM transpose
+    surrounds the kernel."""
+    if default_use_pallas(use_pallas):
+        from vitax.ops import pallas_kernels
+        b, h, s, hd = q.shape
+        probe = jnp.zeros((b, s, h, hd), q.dtype)
+        if pallas_kernels.attention_supported(probe, probe, probe):
+            return pallas_kernels.flash_attention_bhsd(q, k, v)
+    return mha_ref_bhsd(q, k, v)

@@ -13,15 +13,19 @@ Kernels:
   VMEM, so the whole softmax(scale·QKᵀ)V computes in one shot — no online
   softmax and, crucially, the [S,S] score matrix NEVER touches HBM (at
   batch 512 / b16 the fp32 scores are ~1 GB per layer per pass — this HBM
-  traffic is what caps the pure-XLA step). Forward saves the row logsumexp;
-  the custom-VJP backward recomputes P in VMEM and emits dQ/dK/dV directly.
+  traffic is what caps the pure-XLA step). The custom-VJP backward recomputes
+  the softmax in VMEM (cheaper than persisting row statistics through HBM in
+  a TPU-tileable layout) and emits dQ/dK/dV directly.
   Replaces the reference attention math (src/model.py:83-101,
   res-vit/model.py:288-292) with identical fp32-softmax numerics.
 
 * `layer_norm` — row-tiled LN with fp32 statistics, custom VJP; dγ/dβ are
   accumulated across row-blocks in the kernel (TPU grid steps execute
   sequentially, so read-modify-write accumulation on the output block is
-  race-free). Replaces nn.LayerNorm (src/model.py:108,114,146).
+  race-free). The backward recomputes mean/rstd from x — persisting 1-D row
+  statistics trips XLA↔Mosaic layout mismatches (T(1024) vs T(512)) and the
+  recompute is one cheap VPU pass over data the kernel reads anyway.
+  Replaces nn.LayerNorm (src/model.py:108,114,146).
 
 Padding: sequence is padded to the 128-lane boundary in the wrappers; padded
 KV columns are masked to -1e30 before softmax, padded Q rows are sliced off
@@ -58,122 +62,166 @@ def attention_supported(q, k, v) -> bool:
     return s <= 1024 and hd <= 128 and hd % 8 == 0
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, seq_len):
-    q = q_ref[0].astype(jnp.float32)            # [SP, Hd]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
-    sp = q.shape[0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    if seq_len < sp:  # mask padded KV columns
-        col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
-        s = jnp.where(col < seq_len, s, -1e30)
+# dot_general dimension numbers — contraction without materializing a VMEM
+# transpose (the MXU handles transposed operands natively):
+#   AB_T:  [M,K] x [N,K] -> [M,N]   (contract dim1 with dim1; B transposed)
+#   AT_B:  [K,M] x [K,N] -> [M,N]   (contract dim0 with dim0; A transposed)
+_AB_T = (((1,), (1,)), ((), ()))
+_AT_B = (((0,), (0,)), ((), ()))
+
+
+def _softmax_rows(s):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
-    lse_ref[0] = (m + jnp.log(denom))[:, 0]
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale, seq_len):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    sp = q.shape[0]
-
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    if seq_len < sp:
-        col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
-        s = jnp.where(col < seq_len, s, -1e30)
-    p = jnp.exp(s - lse)                        # [SP, SP]
-
-    dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    d = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - d)
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
-
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, group):
+    """One grid step handles `group` (batch·head) pairs — amortizes grid
+    overhead across many small matmuls. Matmuls take bf16 operands with fp32
+    accumulation (preferred_element_type): the MXU runs at full rate and the
+    softmax math stays fp32, matching the reference numerics."""
+    sp = q_ref.shape[1]
+    for g in range(group):
+        q = q_ref[g]                             # [SP, Hd] bf16/f32
+        k = k_ref[g]
+        v = v_ref[g]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < sp:  # mask padded KV columns
+            col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+            s = jnp.where(col < seq_len, s, -1e30)
+        p = _softmax_rows(s)
+        o_ref[g] = jnp.dot(p.astype(v.dtype), v,
+                           preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
 
 
-def _bh_spec(sp, hd):
-    return pl.BlockSpec((1, sp, hd), lambda i: (i, 0, 0),
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale, seq_len, group):
+    sp = q_ref.shape[1]
+    for g in range(group):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        o = o_ref[g].astype(jnp.float32)
+        do32 = do_ref[g].astype(jnp.float32)
+        do = do_ref[g]
+
+        # recompute the softmax exactly as the forward did (cheaper than
+        # persisting row statistics through HBM in a TPU-tileable layout)
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+            s = jnp.where(col < seq_len, s, -1e30)
+        p = _softmax_rows(s)                     # [SP, SP] fp32
+        pc = p.astype(do.dtype)
+
+        dv = jax.lax.dot_general(pc, do, _AT_B,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, _AB_T,
+                                 preferred_element_type=jnp.float32)
+        d = jnp.sum(do32 * o, axis=-1, keepdims=True)
+        ds = (p * (dp - d)).astype(q.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, _AT_B,
+                                 preferred_element_type=jnp.float32) * scale
+
+        dq_ref[g] = dq.astype(dq_ref.dtype)
+        dk_ref[g] = dk.astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
+
+
+def _pick_group(bh: int, sp: int, hd: int, itemsize: int, n_ops: int) -> int:
+    """Largest group whose VMEM working set stays well under budget."""
+    per_pair = n_ops * sp * hd * itemsize + 4 * sp * sp  # operands + p fp32
+    budget = 8 * 1024 * 1024
+    g = max(1, budget // max(per_pair, 1))
+    g = min(g, 16, bh)
+    while bh % g:
+        g -= 1
+    return g
+
+
+def _g_spec(g, sp, hd):
+    return pl.BlockSpec((g, sp, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-
-
-def _lse_spec(sp):
-    return pl.BlockSpec((1, sp), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
 def _attn_fwd(q, k, v, scale, seq_len):
     bh, sp, hd = q.shape
-    out, lse = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, scale=scale, seq_len=seq_len),
-        grid=(bh,),
-        in_specs=[_bh_spec(sp, hd)] * 3,
-        out_specs=(_bh_spec(sp, hd), _lse_spec(sp)),
-        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
-                   jax.ShapeDtypeStruct((bh, sp), jnp.float32)),
+    g = _pick_group(bh, sp, hd, q.dtype.itemsize, 4)
+    out = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=scale, seq_len=seq_len,
+                          group=g),
+        grid=(bh // g,),
+        in_specs=[_g_spec(g, sp, hd)] * 3,
+        out_specs=_g_spec(g, sp, hd),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sp * sp * hd, transcendentals=bh * sp * sp,
             bytes_accessed=4 * bh * sp * hd * q.dtype.itemsize),
         interpret=_INTERPRET,
     )(q, k, v)
-    return out, lse
+    return out
 
 
 def _attn_bwd(scale, seq_len, residuals, do):
-    q, k, v, out, lse = residuals
+    q, k, v, out = residuals
     bh, sp, hd = q.shape
+    g = _pick_group(bh, sp, hd, q.dtype.itemsize, 8)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, seq_len=seq_len),
-        grid=(bh,),
-        in_specs=[_bh_spec(sp, hd)] * 4 + [_lse_spec(sp), _bh_spec(sp, hd)],
-        out_specs=(_bh_spec(sp, hd),) * 3,
+        functools.partial(_attn_bwd_kernel, scale=scale, seq_len=seq_len,
+                          group=g),
+        grid=(bh // g,),
+        in_specs=[_g_spec(g, sp, hd)] * 5,
+        out_specs=(_g_spec(g, sp, hd),) * 3,
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),) * 3,
         cost_estimate=pl.CostEstimate(
             flops=10 * bh * sp * sp * hd, transcendentals=bh * sp * sp,
             bytes_accessed=8 * bh * sp * hd * q.dtype.itemsize),
         interpret=_INTERPRET,
-    )(q, k, v, out, lse, do)
+    )(q, k, v, out, do)
     return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention_bh(q, k, v, scale, seq_len):
-    return _attn_fwd(q, k, v, scale, seq_len)[0]
+    return _attn_fwd(q, k, v, scale, seq_len)
 
 
 def _attention_bh_fwd(q, k, v, scale, seq_len):
-    out, lse = _attn_fwd(q, k, v, scale, seq_len)
-    return out, (q, k, v, out, lse)
+    out = _attn_fwd(q, k, v, scale, seq_len)
+    return out, (q, k, v, out)
 
 
 _attention_bh.defvjp(_attention_bh_fwd, _attn_bwd)
 
 
-def flash_attention(q, k, v):
-    """[B,S,H,Hd]³ → [B,S,H,Hd]; fp32 softmax, scale = Hd^-0.5."""
-    b, s, h, hd = q.shape
+def flash_attention_bhsd(q, k, v):
+    """[B,H,S,Hd]³ → [B,H,S,Hd] — the native kernel layout. Callers produce
+    QKV directly in this layout from the projection einsum, so no physical
+    HBM transpose surrounds the kernel (at batch 512/b16 the [B,S,H,Hd] ↔
+    [B·H,S,Hd] rearrangement would move ~1.8 GB per layer)."""
+    b, h, s, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
     sp = _round_up(s, 128)
 
     def prep(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, hd)
         if sp != s:
-            x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
-        return x
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
+        return x.reshape(b * h, sp, hd)  # adjacent-dim merge: free
 
     out = _attention_bh(prep(q), prep(k), prep(v), scale, s)
-    out = out[:, :s].reshape(b, h, s, hd)
+    out = out.reshape(b, h, sp, hd)
+    return out[:, :, :s] if sp != s else out
+
+
+def flash_attention(q, k, v):
+    """[B,S,H,Hd]³ → [B,S,H,Hd]; fp32 softmax, scale = Hd^-0.5."""
+    out = flash_attention_bhsd(*(jnp.transpose(x, (0, 2, 1, 3))
+                                 for x in (q, k, v)))
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
@@ -189,7 +237,7 @@ def layernorm_supported(x) -> bool:
     return x.ndim >= 2 and d % 128 == 0 and d <= 8192
 
 
-def _ln_fwd_kernel(x_ref, g_ref, b_ref, y_ref, mu_ref, rstd_ref, *, eps):
+def _ln_fwd_kernel(x_ref, g_ref, b_ref, y_ref, *, eps):
     x = x_ref[:].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mu
@@ -198,19 +246,20 @@ def _ln_fwd_kernel(x_ref, g_ref, b_ref, y_ref, mu_ref, rstd_ref, *, eps):
     xhat = xc * rstd
     y = xhat * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
     y_ref[:] = y.astype(y_ref.dtype)
-    mu_ref[:] = mu[:, 0]
-    rstd_ref[:] = rstd[:, 0]
 
 
-def _ln_bwd_kernel(x_ref, g_ref, mu_ref, rstd_ref, dy_ref,
-                   dx_ref, dg_ref, db_ref, *, total_rows, block_rows):
+def _ln_bwd_kernel(x_ref, g_ref, dy_ref,
+                   dx_ref, dg_ref, db_ref, *, eps, total_rows, block_rows):
     i = pl.program_id(0)
     x = x_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
     dy = dy_ref[:].astype(jnp.float32)
-    mu = mu_ref[:][:, None]
-    rstd = rstd_ref[:][:, None]
-    xhat = (x - mu) * rstd
+    # recompute statistics (see module docstring)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
 
     dyg = dy * g
     m1 = jnp.mean(dyg, axis=-1, keepdims=True)
@@ -242,7 +291,7 @@ def _ln_fwd(x2, gamma, beta, eps):
     n, d = x2.shape
     rows = min(_LN_BLOCK_ROWS, n)
     grid = (pl.cdiv(n, rows),)
-    y, mu, rstd = pl.pallas_call(
+    y = pl.pallas_call(
         functools.partial(_ln_fwd_kernel, eps=eps),
         grid=grid,
         in_specs=[
@@ -250,31 +299,25 @@ def _ln_fwd(x2, gamma, beta, eps):
             pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows,), lambda i: (i,), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
-                   jax.ShapeDtypeStruct((n,), jnp.float32),
-                   jax.ShapeDtypeStruct((n,), jnp.float32)),
+        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), x2.dtype),
         interpret=_INTERPRET,
     )(x2, gamma, beta)
-    return y, mu, rstd
+    return y
 
 
-def _ln_bwd_call(x2, gamma, mu, rstd, dy2):
+def _ln_bwd_call(x2, gamma, dy2, eps):
     n, d = x2.shape
     rows = min(_LN_BLOCK_ROWS, n)
     grid = (pl.cdiv(n, rows),)
     dx, dg, db = pl.pallas_call(
-        functools.partial(_ln_bwd_kernel, total_rows=n, block_rows=rows),
+        functools.partial(_ln_bwd_kernel, eps=eps, total_rows=n,
+                          block_rows=rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows,), lambda i: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -286,23 +329,22 @@ def _ln_bwd_call(x2, gamma, mu, rstd, dy2):
                    jax.ShapeDtypeStruct((d,), jnp.float32),
                    jax.ShapeDtypeStruct((d,), jnp.float32)),
         interpret=_INTERPRET,
-    )(x2, gamma, mu, rstd, dy2)
+    )(x2, gamma, dy2)
     return dx, dg, db
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _layer_norm_2d(x2, gamma, beta, eps):
-    return _ln_fwd(x2, gamma, beta, eps)[0]
+    return _ln_fwd(x2, gamma, beta, eps)
 
 
 def _layer_norm_2d_fwd(x2, gamma, beta, eps):
-    y, mu, rstd = _ln_fwd(x2, gamma, beta, eps)
-    return y, (x2, gamma, mu, rstd)
+    return _ln_fwd(x2, gamma, beta, eps), (x2, gamma)
 
 
 def _layer_norm_2d_bwd(eps, residuals, dy2):
-    x2, gamma, mu, rstd = residuals
-    dx, dg, db = _ln_bwd_call(x2, gamma, mu, rstd, dy2)
+    x2, gamma = residuals
+    dx, dg, db = _ln_bwd_call(x2, gamma, dy2, eps)
     return dx, dg.astype(gamma.dtype), db.astype(gamma.dtype)
 
 

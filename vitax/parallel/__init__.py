@@ -1,3 +1,4 @@
+from vitax.parallel.distributed import init_distributed, process_info  # noqa: F401
 from vitax.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,

@@ -13,3 +13,4 @@ from vitax.utils.memory import (  # noqa: F401
     device_memory_stats,
     print_memory_usage,
 )
+from vitax.utils.profiling import StepTimer, annotate, trace  # noqa: F401
