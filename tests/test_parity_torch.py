@@ -99,3 +99,31 @@ def test_state_dict_roundtrip(ref_vit):
     sd = params_to_torch_state_dict(params_np)
     back = params_from_torch_state_dict(sd, CFG.num_layers, CFG.num_classes)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), params_np, back)
+
+
+@requires_reference
+def test_nondivisible_image_crops_like_conv(ref_vit):
+    """h14-style non-divisible sizes: the reference's strided Conv2d floors
+    the patch grid (384//14=27, 6 px dropped); vitax's patchify crops
+    identically (src/model.py:179)."""
+    import torch
+    cfg = ViTConfig(image_size=(30, 30), patch_size=(14, 14), emb_dim=32,
+                    mlp_dim=64, num_heads=2, num_layers=2, num_classes=5,
+                    dropout_rate=0.0, attn_dropout_rate=0.0,
+                    dtype=jnp.float32, use_pallas=False)
+    assert cfg.num_patches == 4  # floor(30/14)^2
+    key = jax.random.PRNGKey(7)
+    params = vit.init_params(key, cfg)
+    sd_np = params_to_torch_state_dict(jax.tree.map(np.asarray, params))
+    tmodel = ref_vit.VisionTransformer(
+        image_size=(30, 30), patch_size=(14, 14), emb_dim=32, mlp_dim=64,
+        num_heads=2, num_layers=2, num_classes=5,
+        dropout_rate=0.0, attn_dropout_rate=0.0)
+    tmodel.eval()
+    tmodel.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd_np.items()})
+    x = np.random.RandomState(8).randn(2, 3, 30, 30).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(x)).numpy()
+    logits = np.asarray(vit.apply_nchw(params, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(logits, ref_logits, rtol=1e-4, atol=1e-4)

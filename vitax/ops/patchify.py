@@ -18,10 +18,16 @@ import jax.numpy as jnp
 
 def extract_patches(images: jnp.ndarray, patch: tuple) -> jnp.ndarray:
     """[B, H, W, C] → [B, N, ph*pw*C] with (ph, pw, c) flattened row-major,
-    matching a row-major reshape of the HWIO conv kernel."""
+    matching a row-major reshape of the HWIO conv kernel.
+
+    Non-divisible sizes crop the remainder, exactly like a strided conv
+    floors its output size (h14 @ 384: 384//14 = 27 grid, 6 px dropped —
+    the reference's Conv2d does the same, src/model.py:179)."""
     b, h, w, c = images.shape
     ph, pw = patch
     gh, gw = h // ph, w // pw
+    if h != gh * ph or w != gw * pw:
+        images = images[:, :gh * ph, :gw * pw]
     x = images.reshape(b, gh, ph, gw, pw, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)          # [B, gh, gw, ph, pw, C]
     return x.reshape(b, gh * gw, ph * pw * c)

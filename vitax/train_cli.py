@@ -137,6 +137,13 @@ def main(argv=None):
             loaded["classifier"] = params["classifier"]
         params = jax.tree.map(jnp.asarray, loaded)
 
+    # layer report + structure dump (src/utils.py:311-320 equivalent)
+    from vitax.utils import log_model_layers, write_json
+    n_params = log_model_layers(params, log=lambda *_: None)
+    print(f"model: {config.model_arch} with {n_params:,} parameters")
+    write_json({"arch": config.model_arch, "parameters": n_params},
+               f"{config.result_dir}/model_info.json")
+
     # data
     common = dict(data_dir=config.data_dir, image_size=config.image_size,
                   batch_size=config.batch_size,

@@ -12,5 +12,7 @@ from vitax.utils.memory import (  # noqa: F401
     tree_bytes,
     device_memory_stats,
     print_memory_usage,
+    optimize_memory_usage,
+    log_model_layers,
 )
 from vitax.utils.profiling import StepTimer, annotate, trace  # noqa: F401

@@ -35,6 +35,31 @@ def format_bytes(n: int) -> str:
     return f"{n:.2f} TiB"
 
 
+def optimize_memory_usage() -> Optional[dict]:
+    """Host-side GC + live device stats — the reference's
+    `optimize_memory_usage` (res-vit/utils.py:558-573: gc.collect +
+    empty_cache + synchronize). XLA owns its arena, so the actionable parts
+    are collecting host garbage (drops donated-buffer handles) and reporting
+    stats."""
+    import gc
+    gc.collect()
+    return device_memory_stats()
+
+
+def log_model_layers(params: Any, log=print) -> int:
+    """Per-leaf shape/param-count report — the reference's
+    `log_model_layers` (src/utils.py:311-320). Returns total param count."""
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in path)
+        n = int(np.size(leaf))
+        total += n
+        log(f"  {key:<60} {str(np.shape(leaf)):<20} {n:>12,}")
+    log(f"  {'TOTAL':<60} {'':<20} {total:>12,}")
+    return total
+
+
 def print_memory_usage(params: Any = None, opt_state: Any = None,
                        grads: Any = None, log=print) -> dict:
     """Breakdown print in the reference's spirit: model / optimizer / grads
