@@ -105,11 +105,7 @@ def test_eval_parity_reslr(ref):
     np.testing.assert_allclose(np.asarray(aux["acts"]), ref_acts, atol=1e-6)
     np.testing.assert_allclose(float(aux["r_entropy"]), ref_entropy,
                                rtol=1e-4, atol=1e-5)
-    from vitax.train.steps import cross_entropy
-    import jax.numpy as jnp
-    ours_closs = float(cross_entropy(jnp.asarray(logits),
-                                     jnp.asarray(np.argmax(ref_logits * 0, -1))))
-    # c_loss compared via logits parity above; labels differ per call
+    # c_loss parity follows from logits parity (same CE on same labels)
 
 
 @requires_reference

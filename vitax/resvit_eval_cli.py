@@ -20,12 +20,12 @@ import numpy as np
 
 from vitax.checkpointing import CheckpointStore, load_state_dict_pth
 from vitax.checkpointing.resvit_convert import resvit_params_from_torch_state_dict
-from vitax.core.config import num_classes_for_dataset, resvit_arch_config
+from vitax.core.config import num_classes_for_dataset
 from vitax.core.prng import set_seed
 from vitax.data import get_dataloader
 from vitax.models import resvit
 from vitax.resvit_train_cli import config_to_model_args
-from vitax.train.resvit_steps import create_state, make_eval_step
+from vitax.train.resvit_steps import make_eval_step
 
 DATASETS = ["CIFAR10", "CIFAR100", "ImageNet", "TinyImageNet", "Synthetic"]
 

@@ -33,8 +33,8 @@ from vitax.models import resvit
 from vitax.train.resvit_steps import (Lambdas, create_state, make_adamw_for,
                                       make_eval_step, make_train_step)
 from vitax.train.schedules import cosine_annealing_lr, cosine_with_warmup_lr
-from vitax.utils import (ExperimentWriter, MetricTracker, process_config,
-                         tree_bytes, write_json)
+from vitax.utils import (ExperimentWriter, process_config, tree_bytes,
+                         write_json)
 from vitax.utils.routing_viz import save_routing_visualization
 
 DATASETS = ["CIFAR10", "CIFAR100", "ImageNet", "TinyImageNet", "Synthetic"]
@@ -202,7 +202,6 @@ def main(argv=None):
                  "tensorboard" if config.tensorboard else "none"),
         project=f"vit-{config.dataset}", exp_name=config.exp_name)
     store = CheckpointStore(config.checkpoint_dir)
-    tracker = MetricTracker()
 
     best_acc = 0.0
     print(f"training {epochs} epochs x {steps_per_epoch} steps")
