@@ -61,14 +61,31 @@ def main(argv=None):
                             num_workers=config.num_workers, seed=config.seed,
                             **extra)
 
+    # data-parallel eval over all devices (supersedes the reference's
+    # DataParallel eval wrap, src/eval.py:42-43); XLA all-reduces the
+    # weighted metric sums over the mesh
+    from vitax.parallel import mesh as pmesh
+    devices = jax.devices()
+    if config.n_gpu > 0:
+        devices = devices[:config.n_gpu]
+    m = pmesh.make_mesh(n_data=len(devices), n_model=1, devices=devices)
+    dp = len(devices) > 1
+    if dp and config.batch_size % len(devices):
+        raise SystemExit("--batch-size must divide the device count for "
+                         "data-parallel eval")
+    params = jax.device_put(params, pmesh.replicated(m))
+
     eval_step = make_weighted_eval_step(cfg)
     totals = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0}
     n = 0.0
     t0 = time.time()
     for i, batch in enumerate(loader):
-        images = jnp.asarray(batch.images, cfg.dtype)
-        labels = jnp.asarray(batch.labels)
-        weight = jnp.asarray(batch.weight)
+        images = jax.device_put(jnp.asarray(batch.images, cfg.dtype),
+                                pmesh.batch_sharding(m))
+        labels = jax.device_put(jnp.asarray(batch.labels),
+                                pmesh.batch_sharding(m))
+        weight = jax.device_put(jnp.asarray(batch.weight),
+                                pmesh.batch_sharding(m))
         metrics = eval_step(params, images, labels, weight)
         bs = float(weight.sum())
         for k in totals:
