@@ -1,0 +1,64 @@
+"""Res-ViT under the data-parallel mesh: training on 8 fake devices must
+match single-device training (gradient all-reduce correctness for the full
+router/LoRA/approximator model)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitax.core.config import ResViTConfig
+from vitax.models import resvit
+from vitax.parallel import mesh as pmesh
+from vitax.train.resvit_steps import (Lambdas, create_state, make_adamw_for,
+                                      make_train_step)
+
+CFG = ResViTConfig(dim=48, mlp_dim=96, n_layers=3, n_heads=4, n_kv_heads=4,
+                   lora_rank=4, dynamic_start_layer=1,
+                   dynamic_router_hdim=32, dynamic_reserve_initials=1,
+                   low_rank_dim=8, block_size=1, use_lora=True,
+                   use_reslr=True, image_size=(32, 32), patch_size=(16, 16),
+                   num_classes=7, dropout=0.0, dtype=jnp.float32,
+                   param_dtype=jnp.float32, use_pallas=False)
+
+
+def _setup():
+    params = resvit.init_params(jax.random.PRNGKey(0), CFG)
+    tx = make_adamw_for(CFG, params, lambda _: 1e-3)
+    return create_state(params, tx, jax.random.PRNGKey(1)), tx
+
+
+def test_resvit_dp_matches_single_device():
+    devices = jax.devices()
+    assert len(devices) >= 8
+
+    key = jax.random.PRNGKey(2)
+    images = jax.random.normal(key, (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (16,), 0, 7)
+
+    state1, tx1 = _setup()
+    step1 = make_train_step(CFG, tx1, Lambdas(), donate=False)
+    for _ in range(2):
+        state1, m1 = step1(state1, images, labels)
+
+    m = pmesh.make_mesh(n_data=8, n_model=1, devices=devices[:8])
+    state8, tx8 = _setup()
+    with m:
+        repl = jax.tree.map(lambda _: pmesh.replicated(m), state8.params)
+        state8 = state8._replace(
+            params=jax.device_put(state8.params, repl),
+            opt_state=jax.device_put(
+                state8.opt_state,
+                jax.tree.map(lambda x: pmesh.replicated(m)
+                             if np.ndim(x) >= 0 else None, state8.opt_state)))
+        step8 = make_train_step(CFG, tx8, Lambdas(), donate=False)
+        imgs = jax.device_put(images, pmesh.batch_sharding(m))
+        lbls = jax.device_put(labels, pmesh.batch_sharding(m))
+        for _ in range(2):
+            state8, m8 = step8(state8, imgs, lbls)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
