@@ -18,7 +18,7 @@ same code spans DCN.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

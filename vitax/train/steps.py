@@ -8,7 +8,7 @@ superseding `torch.nn.DataParallel` (src/train.py:128-129).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,9 +25,8 @@ from vitax.core.prng import set_seed
 from vitax.data import get_dataloader
 from vitax.models import vit
 from vitax.parallel import mesh as pmesh
-from vitax.train import (TrainState, create_train_state, make_eval_step,
-                         make_train_step, onecycle_lr, onecycle_momentum,
-                         sgd_momentum)
+from vitax.train import (create_train_state, make_train_step,
+                         onecycle_lr, onecycle_momentum, sgd_momentum)
 from vitax.utils import ExperimentWriter, MetricTracker, print_memory_usage
 
 
@@ -97,7 +96,6 @@ def valid_epoch(epoch, state, eval_step, loader, writer, tracker):
 def make_weighted_eval_step(cfg):
     """Eval step with a padding mask so the padded final batch counts only
     real samples."""
-    from vitax.train.steps import topk_accuracy
 
     def step_fn(params, images, labels, weight):
         logits = vit.apply(params, images, cfg, train=False)
