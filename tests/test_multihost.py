@@ -1,0 +1,101 @@
+"""Multi-host (DCN) smoke: two local processes, jax.distributed coordinator,
+one data-parallel train step on the global mesh (SURVEY §7 step 7
+"multi-host (DCN) smoke"). Heavier than the other tests (spawns
+subprocesses); skipped automatically if the coordinator can't bind."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from vitax.parallel import init_distributed
+import jax.numpy as jnp
+
+port, pid = sys.argv[1], int(sys.argv[2])
+ok = init_distributed(coordinator_address=f"127.0.0.1:{port}",
+                      num_processes=2, process_id=pid)
+assert ok
+assert jax.process_count() == 2
+assert jax.device_count() == 4  # 2 fake devices per process
+
+from vitax.core.config import ViTConfig
+from vitax.models import vit
+from vitax.parallel import mesh as pmesh
+from vitax.train import (create_train_state, make_train_step, onecycle_lr,
+                         onecycle_momentum, sgd_momentum)
+
+cfg = ViTConfig(image_size=(32, 32), patch_size=(16, 16), emb_dim=32,
+                mlp_dim=64, num_heads=2, num_layers=2, num_classes=5,
+                dropout_rate=0.0, dtype=jnp.float32, use_pallas=False)
+params = vit.init_params(jax.random.PRNGKey(0), cfg)
+tx = sgd_momentum(onecycle_lr(0.01, 10, 0.2),
+                  momentum_schedule=onecycle_momentum(10, 0.2))
+state = create_train_state(params, tx, jax.random.PRNGKey(1))
+
+m = pmesh.make_mesh(n_data=4, n_model=1)  # global mesh over both hosts
+with m:
+    pshard = pmesh.vit_param_shardings(state.params, m)
+    state = state._replace(
+        params=jax.device_put(state.params, pshard),
+        opt_state=jax.device_put(
+            state.opt_state,
+            pmesh.opt_state_shardings(state.opt_state, state.params,
+                                      pshard, m)))
+    # each process contributes its local shard of the global batch
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    gshape = (8, 32, 32, 3)
+    local = np.full((4, 32, 32, 3), pid + 1, np.float32)
+    images = jax.make_array_from_process_local_data(
+        NamedSharding(m, P("data")), local, gshape)
+    labels = jax.make_array_from_process_local_data(
+        NamedSharding(m, P("data")), np.zeros((4,), np.int32), (8,))
+    step = make_train_step(cfg, tx, donate=False)
+    state, metrics = step(state, images, labels)
+    loss = float(metrics["loss"])
+print(f"WORKER_{pid}_OK loss={loss:.6f}", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_data_parallel_step(tmp_path):
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon hook quiet
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER, str(port), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed coordinator did not converge (sandbox)")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
+        assert f"WORKER_{pid}_OK" in out
+    # both processes computed the same global loss
+    l0 = outs[0].split("loss=")[1].split()[0]
+    l1 = outs[1].split("loss=")[1].split()[0]
+    assert l0 == l1

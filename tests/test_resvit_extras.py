@@ -150,3 +150,40 @@ def test_lra_debug_report():
     from vitax.models.resvit_utils import lra_path_ids
     out = lra_path_ids(1)
     assert out == [([0], [1], [])]
+
+
+def test_gumbel_st_sampling_distribution():
+    """Gumbel-max property: the router's hard train-time decisions must be
+    distributed as softmax(logits) — the same law as torch's
+    F.gumbel_softmax(tau=1, hard=True) (res-vit/model.py:199-200)."""
+    cfg = tiny_cfg()
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    # bias the router so keep-prob is a nontrivial, known value
+    rp = params["layers"][1]["router"]
+    rp["out3"]["kernel"] = jnp.zeros_like(rp["out3"]["kernel"])
+    rp["out3"]["bias"] = jnp.asarray([0.0, 1.0], jnp.float32)  # block_size 1
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 5, cfg.dim))
+
+    expect_keep = float(jax.nn.softmax(jnp.asarray([0.0, 1.0]))[1])
+    keeps = []
+    for t in range(300):
+        hard, *_ = resvit.router_forward(
+            x, rp, cfg, train=True, rng=jax.random.PRNGKey(100 + t))
+        keeps.append(np.asarray(hard[:, cfg.dynamic_reserve_initials:, :, 1]))
+    freq = float(np.mean(keeps))
+    assert abs(freq - expect_keep) < 0.03, (freq, expect_keep)
+
+
+def test_resvit_eval_cli_compact_flag(tmp_path):
+    from vitax import resvit_eval_cli
+    result = resvit_eval_cli.main([
+        "--dataset", "Synthetic", "--model-arch", "tiny",
+        "--image-size", "32", "--batch-size", "8",
+        "--synthetic-samples", "32", "--num-workers", "0",
+        "--dtype", "float32", "--no-pallas",
+        "--use_lora", "False", "--use_reslr", "True",
+        "--dynamic_start_layer", "1", "--block_size", "1",
+        "--dynamic_router_hdim", "32", "--low_rank_dim", "8",
+        "--n_heads", "3", "--n_kv_heads", "3",
+        "--compact-capacity", "0.8"])
+    assert "acc1" in result

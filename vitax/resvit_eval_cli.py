@@ -62,6 +62,10 @@ def get_eval_config(argv=None):
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=512)
+    p.add_argument("--compact-capacity", type=float, default=None,
+                   help="enable token-compaction inference with this kept "
+                        "fraction (e.g. 0.5); exact when it covers the "
+                        "active ratio — see models/resvit_compact.py")
     cfg = p.parse_args(argv)
     cfg.num_classes = num_classes_for_dataset(cfg.dataset)
     return cfg
@@ -95,7 +99,26 @@ def main(argv=None):
                             batch_size=config.batch_size,
                             num_workers=config.num_workers, seed=config.seed,
                             **extra)
-    eval_step = make_eval_step(cfg)
+    if config.compact_capacity is not None:
+        import jax as _jax
+        from vitax.models.resvit_compact import apply_compact
+        from vitax.train.resvit_steps import _metrics
+
+        def _compact_step(params, images, labels, weight):
+            logits, aux = apply_compact(params, images, cfg,
+                                        capacity=config.compact_capacity)
+            zero = jnp.zeros((), jnp.float32)
+            logp = _jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+            c = (nll * weight).sum() / jnp.maximum(weight.sum(), 1.0)
+            m = _metrics(cfg, logits, labels, c, zero, zero, aux,
+                         weight=weight)
+            m["loss"] = c
+            return m, aux["routing_maps"]
+
+        eval_step = _jax.jit(_compact_step)
+    else:
+        eval_step = make_eval_step(cfg)
 
     totals: dict = {}
     n = 0.0

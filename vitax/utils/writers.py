@@ -18,6 +18,7 @@ class NullBackend:
     def add_scalar(self, tag, value, step): pass
     def add_scalars(self, tag, values, step): pass
     def add_image(self, tag, img, step): pass
+    def add_histogram(self, tag, values, step): pass
     def flush(self): pass
     def close(self): pass
 
@@ -35,6 +36,9 @@ class TensorboardBackend:
 
     def add_image(self, tag, img, step):
         self._w.add_image(tag, img, step)
+
+    def add_histogram(self, tag, values, step):
+        self._w.add_histogram(tag, values, step)
 
     def flush(self):
         self._w.flush()
@@ -57,6 +61,13 @@ class SwanlabBackend:
 
     def add_image(self, tag, img, step):
         self._sl.log({tag: self._sl.Image(img)}, step=step)
+
+    def add_histogram(self, tag, values, step):
+        # swanlab shim parity (src/utils.py:259-276): log summary stats
+        import numpy as _np
+        v = _np.asarray(values)
+        self._sl.log({f"{tag}/mean": float(v.mean()),
+                      f"{tag}/std": float(v.std())}, step=step)
 
     def flush(self): pass
 
