@@ -62,3 +62,38 @@ def test_resvit_dp_matches_single_device():
                     jax.tree.leaves(state8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_resvit_tp_matches_single_device():
+    """data=4 x model=2 mesh with Megatron-style res-vit shardings must
+    match single-device training."""
+    devices = jax.devices()
+    key = jax.random.PRNGKey(3)
+    images = jax.random.normal(key, (8, 32, 32, 3))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (8,), 0, 7)
+
+    state1, tx1 = _setup()
+    step1 = make_train_step(CFG, tx1, Lambdas(), donate=False)
+    state1, m1 = step1(state1, images, labels)
+
+    m = pmesh.make_mesh(n_data=4, n_model=2, devices=devices[:8])
+    state2, tx2 = _setup()
+    with m:
+        pshard = pmesh.resvit_param_shardings(state2.params, m)
+        state2 = state2._replace(
+            params=jax.device_put(state2.params, pshard),
+            opt_state=jax.device_put(
+                state2.opt_state,
+                pmesh.opt_state_shardings(state2.opt_state, state2.params,
+                                          pshard, m)))
+        step2 = make_train_step(CFG, tx2, Lambdas(), donate=False)
+        state2, m2 = step2(state2,
+                           jax.device_put(images, pmesh.batch_sharding(m)),
+                           jax.device_put(labels, pmesh.batch_sharding(m)))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)

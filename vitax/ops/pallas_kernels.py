@@ -80,16 +80,21 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, group):
     """One grid step handles `group` (batch·head) pairs — amortizes grid
     overhead across many small matmuls. Matmuls take bf16 operands with fp32
     accumulation (preferred_element_type): the MXU runs at full rate and the
-    softmax math stays fp32, matching the reference numerics."""
-    sp = q_ref.shape[1]
+    softmax math stays fp32, matching the reference numerics.
+
+    Q rows are padded only to the 8-sublane boundary (spq), KV rows to the
+    128-lane boundary (spk) — score work scales with spq·spk, so the
+    asymmetric padding saves ~20% at seq 197 (200·256 vs 256·256)."""
+    spq = q_ref.shape[1]
+    spk = k_ref.shape[1]
     for g in range(group):
-        q = q_ref[g]                             # [SP, Hd] bf16/f32
-        k = k_ref[g]
+        q = q_ref[g]                             # [SPQ, Hd] bf16/f32
+        k = k_ref[g]                             # [SPK, Hd]
         v = v_ref[g]
         s = jax.lax.dot_general(q, k, _AB_T,
                                 preferred_element_type=jnp.float32) * scale
-        if seq_len < sp:  # mask padded KV columns
-            col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+        if seq_len < spk:  # mask padded KV columns
+            col = jax.lax.broadcasted_iota(jnp.int32, (spq, spk), 1)
             s = jnp.where(col < seq_len, s, -1e30)
         p = _softmax_rows(s)
         o_ref[g] = jnp.dot(p.astype(v.dtype), v,
@@ -99,7 +104,8 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, group):
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
                      dq_ref, dk_ref, dv_ref, *, scale, seq_len, group):
-    sp = q_ref.shape[1]
+    spq = q_ref.shape[1]
+    spk = k_ref.shape[1]
     for g in range(group):
         q = q_ref[g]
         k = k_ref[g]
@@ -109,13 +115,15 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
         do = do_ref[g]
 
         # recompute the softmax exactly as the forward did (cheaper than
-        # persisting row statistics through HBM in a TPU-tileable layout)
+        # persisting row statistics through HBM in a TPU-tileable layout).
+        # Padded Q rows produce junk P rows, but their cotangent rows are
+        # zero, so every gradient contribution from them vanishes.
         s = jax.lax.dot_general(q, k, _AB_T,
                                 preferred_element_type=jnp.float32) * scale
-        if seq_len < sp:
-            col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+        if seq_len < spk:
+            col = jax.lax.broadcasted_iota(jnp.int32, (spq, spk), 1)
             s = jnp.where(col < seq_len, s, -1e30)
-        p = _softmax_rows(s)                     # [SP, SP] fp32
+        p = _softmax_rows(s)                     # [SPQ, SPK] fp32
         pc = p.astype(do.dtype)
 
         dv = jax.lax.dot_general(pc, do, _AT_B,
@@ -150,18 +158,20 @@ def _g_spec(g, sp, hd):
 
 
 def _attn_fwd(q, k, v, scale, seq_len):
-    bh, sp, hd = q.shape
-    g = _pick_group(bh, sp, hd, q.dtype.itemsize, 4)
+    bh, spq, hd = q.shape
+    spk = k.shape[1]
+    g = _pick_group(bh, spk, hd, q.dtype.itemsize, 4)
     out = pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale, seq_len=seq_len,
                           group=g),
         grid=(bh // g,),
-        in_specs=[_g_spec(g, sp, hd)] * 3,
-        out_specs=_g_spec(g, sp, hd),
+        in_specs=[_g_spec(g, spq, hd), _g_spec(g, spk, hd),
+                  _g_spec(g, spk, hd)],
+        out_specs=_g_spec(g, spq, hd),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * sp * sp * hd, transcendentals=bh * sp * sp,
-            bytes_accessed=4 * bh * sp * hd * q.dtype.itemsize),
+            flops=4 * bh * spq * spk * hd, transcendentals=bh * spq * spk,
+            bytes_accessed=4 * bh * spk * hd * q.dtype.itemsize),
         interpret=_INTERPRET,
     )(q, k, v)
     return out
@@ -169,18 +179,24 @@ def _attn_fwd(q, k, v, scale, seq_len):
 
 def _attn_bwd(scale, seq_len, residuals, do):
     q, k, v, out = residuals
-    bh, sp, hd = q.shape
-    g = _pick_group(bh, sp, hd, q.dtype.itemsize, 8)
+    bh, spq, hd = q.shape
+    spk = k.shape[1]
+    g = _pick_group(bh, spk, hd, q.dtype.itemsize, 8)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, seq_len=seq_len,
                           group=g),
         grid=(bh // g,),
-        in_specs=[_g_spec(g, sp, hd)] * 5,
-        out_specs=(_g_spec(g, sp, hd),) * 3,
-        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),) * 3,
+        in_specs=[_g_spec(g, spq, hd), _g_spec(g, spk, hd),
+                  _g_spec(g, spk, hd), _g_spec(g, spq, hd),
+                  _g_spec(g, spq, hd)],
+        out_specs=(_g_spec(g, spq, hd), _g_spec(g, spk, hd),
+                   _g_spec(g, spk, hd)),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
         cost_estimate=pl.CostEstimate(
-            flops=10 * bh * sp * sp * hd, transcendentals=bh * sp * sp,
-            bytes_accessed=8 * bh * sp * hd * q.dtype.itemsize),
+            flops=10 * bh * spq * spk * hd, transcendentals=bh * spq * spk,
+            bytes_accessed=8 * bh * spk * hd * q.dtype.itemsize),
         interpret=_INTERPRET,
     )(q, k, v, out, do)
     return dq, dk, dv
@@ -206,16 +222,17 @@ def flash_attention_bhsd(q, k, v):
     [B·H,S,Hd] rearrangement would move ~1.8 GB per layer)."""
     b, h, s, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
-    sp = _round_up(s, 128)
+    spq = _round_up(s, 8)     # Q rows: sublane alignment only
+    spk = _round_up(s, 128)   # KV rows become lanes of the score matrix
 
-    def prep(x):
+    def prep(x, sp):
         if sp != s:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
         return x.reshape(b * h, sp, hd)  # adjacent-dim merge: free
 
-    out = _attention_bh(prep(q), prep(k), prep(v), scale, s)
-    out = out.reshape(b, h, sp, hd)
-    return out[:, :, :s] if sp != s else out
+    out = _attention_bh(prep(q, spq), prep(k, spk), prep(v, spk), scale, s)
+    out = out.reshape(b, h, spq, hd)
+    return out[:, :, :s] if spq != s else out
 
 
 def flash_attention(q, k, v):

@@ -6,6 +6,7 @@ from vitax.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated,
     vit_param_shardings,
+    resvit_param_shardings,
     shard_params,
     shard_batch,
     opt_state_shardings,

@@ -90,6 +90,38 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, vit_param_shardings(params, mesh))
 
 
+def _resvit_param_spec(path: str) -> P:
+    """Tensor-parallel PartitionSpec for a res-vit param, by pytree path.
+
+    Megatron pattern per block: wq/wk/wv column-parallel (output dim on
+    MODEL), wo row-parallel (input dim on MODEL — XLA psums after the
+    contraction), fc1 output / fc2 input on MODEL. Routers, approximators,
+    LoRA adapters, norms and embeddings are small — replicated."""
+    is_kernel = path.endswith("kernel")
+    if "/attention/" in path and "lora" not in path:
+        if "/wo/" in path:
+            return P(MODEL_AXIS, None) if is_kernel else P()
+        if any(f"/{w}/" in path for w in ("wq", "wk", "wv")):
+            return P(None, MODEL_AXIS) if is_kernel else P(MODEL_AXIS)
+    if "/feed_forward/" in path:
+        if "/fc1/" in path:
+            return P(None, MODEL_AXIS) if is_kernel else P(MODEL_AXIS)
+        if "/fc2/" in path and is_kernel:
+            return P(MODEL_AXIS, None)
+    return P()
+
+
+def resvit_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """Sharding pytree for res-vit params (DP replicated / TP per
+    `_resvit_param_spec`)."""
+    if mesh.shape.get(MODEL_AXIS, 1) == 1:
+        return jax.tree.map(lambda _: replicated(mesh), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: NamedSharding(mesh,
+                                      _resvit_param_spec(_path_str(path))),
+        params)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.device_put(batch, batch_sharding(mesh))
 
