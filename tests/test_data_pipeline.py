@@ -119,3 +119,42 @@ def test_tinyimagenet_reader(tmp_path):
                 d / f"{cls}_{i}.JPEG")
     paths, labels, ncls = D.load_tinyimagenet(str(tmp_path), "train")
     assert len(paths) == 4 and ncls == 2
+
+
+def test_raw_loader_plus_device_prep_matches_host_path():
+    """uint8 loader + on-device normalize must equal the host float path
+    (val split: no flip)."""
+    import jax.numpy as jnp
+    from vitax.data.device_prep import preprocess
+
+    kw = dict(split="val", image_size=32, batch_size=8, num_samples=16,
+              seed=5, prefetch=0)
+    host = SyntheticDataLoader(**kw)
+    raw = SyntheticDataLoader(raw=True, **kw)
+    for hb, rb in zip(host, raw):
+        assert rb.images.dtype == np.uint8
+        dev = preprocess(jnp.asarray(rb.images), train=False,
+                         dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(dev), hb.images, atol=1e-6)
+        np.testing.assert_array_equal(hb.labels, rb.labels)
+
+
+def test_device_hflip_distribution_and_determinism():
+    import jax
+    import jax.numpy as jnp
+    from vitax.data.device_prep import preprocess
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (64, 8, 8, 3), np.uint8)
+    out1 = preprocess(jnp.asarray(imgs), train=True,
+                      rng=jax.random.PRNGKey(3), dtype=jnp.float32)
+    out2 = preprocess(jnp.asarray(imgs), train=True,
+                      rng=jax.random.PRNGKey(3), dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    base = preprocess(jnp.asarray(imgs), train=False, dtype=jnp.float32)
+    flipped = np.asarray(base)[:, :, ::-1, :]
+    o = np.asarray(out1)
+    is_base = np.all(np.isclose(o, np.asarray(base)), axis=(1, 2, 3))
+    is_flip = np.all(np.isclose(o, flipped), axis=(1, 2, 3))
+    assert np.all(is_base | is_flip)
+    assert 10 < is_flip.sum() < 54  # roughly half flipped

@@ -101,3 +101,17 @@ def test_write_read_json_roundtrip(tmp_path):
     p = tmp_path / "x.json"
     write_json({"a": [1, 2], "b": "s"}, str(p))
     assert read_json(str(p)) == {"a": [1, 2], "b": "s"}
+
+
+def test_checkpoint_step_retention(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from vitax.checkpointing import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path), keep=2)
+    state = {"w": jnp.ones((2,))}
+    for s in (1, 2, 3, 4):
+        store.save_step(s, state, {"step": s})
+    assert store.list_steps() == [3, 4]
+    restored = store.restore("step_00000004", {"w": jnp.zeros((2,))})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), [1.0, 1.0])

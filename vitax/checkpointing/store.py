@@ -76,12 +76,17 @@ def coerce_like(target: Any, got: Any) -> Any:
 class CheckpointStore:
     """Directory of named checkpoints, each one state pytree + metadata."""
 
-    def __init__(self, directory: str, use_orbax: Optional[bool] = None):
+    def __init__(self, directory: str, use_orbax: Optional[bool] = None,
+                 keep: Optional[int] = None):
+        """`keep`: retention for step-named checkpoints saved via
+        `save_step` — only the newest N are kept (`current`/`best` are
+        never pruned)."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         if use_orbax is None:
             use_orbax = _orbax_available()
         self.use_orbax = use_orbax
+        self.keep = keep
 
     # -- core --------------------------------------------------------------
 
@@ -143,6 +148,21 @@ class CheckpointStore:
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
+
+    def save_step(self, step: int, state: Any,
+                  metadata: Optional[dict] = None) -> str:
+        """Save under `step_{N:08d}` and prune beyond the retention limit."""
+        path = self.save(f"step_{step:08d}", state, metadata)
+        if self.keep is not None:
+            steps = sorted(d for d in os.listdir(self.directory)
+                           if d.startswith("step_"))
+            for old in steps[:-self.keep]:
+                shutil.rmtree(os.path.join(self.directory, old))
+        return path
+
+    def list_steps(self):
+        return sorted(int(d[len("step_"):]) for d in os.listdir(self.directory)
+                      if d.startswith("step_"))
 
     # -- reference-style current/best ---------------------------------------
 

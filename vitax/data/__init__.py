@@ -10,3 +10,8 @@ from vitax.data.pipeline import (  # noqa: F401
     get_dataloader,
     normalize,
 )
+from vitax.data.device_prep import (  # noqa: F401
+    normalize_device,
+    preprocess,
+    random_hflip,
+)

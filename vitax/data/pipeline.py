@@ -87,7 +87,8 @@ class DataLoader:
                  num_classes: int, image_size: int = 224, batch_size: int = 32,
                  split: str = "train", seed: int = 42, num_workers: int = 4,
                  flip: Optional[bool] = None, drop_last: bool = False,
-                 prefetch: int = 4, use_native: Optional[bool] = None):
+                 prefetch: int = 4, use_native: Optional[bool] = None,
+                 raw: bool = False):
         self.items = items
         self.labels = np.asarray(labels, np.int32)
         self.num_classes = num_classes
@@ -99,6 +100,9 @@ class DataLoader:
         self.flip = (split == "train") if flip is None else flip
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # raw=True: images stay uint8 and flips are deferred — pair with
+        # vitax.data.device_prep (4x less host->device bandwidth)
+        self.raw = raw
         # native C++ batch assembly (vitax/native): float-bilinear resize,
         # ±1 LSB vs PIL's fixed-point — default on for train (speed), off
         # for val (pixel-exact torchvision parity, SURVEY §7)
@@ -133,6 +137,17 @@ class DataLoader:
     def _make_batch(self, idxs: np.ndarray, flip_bits: np.ndarray) -> Batch:
         bs = self.batch_size
         h, w = self.image_size
+        if self.raw:
+            images = np.zeros((bs, h, w, 3), np.uint8)
+            labels = np.zeros((bs,), np.int32)
+            weight = np.zeros((bs,), np.float32)
+            for j, idx in enumerate(idxs):
+                images[j] = self._load_image(int(idx))
+                labels[j] = self.labels[idx]
+                weight[j] = 1.0
+            for j in range(len(idxs), bs):
+                images[j] = images[0]
+            return Batch(images, labels, weight)
         if self.use_native:
             from vitax import native
             images = native.assemble_batch(
