@@ -158,3 +158,27 @@ def test_device_hflip_distribution_and_determinism():
     is_flip = np.all(np.isclose(o, flipped), axis=(1, 2, 3))
     assert np.all(is_base | is_flip)
     assert 10 < is_flip.sum() < 54  # roughly half flipped
+
+
+def test_path_backed_dataloader_decodes(tmp_path):
+    """DataLoader over image paths exercises the PIL decode path
+    (ImageNet/TinyImageNet style)."""
+    from PIL import Image
+    paths = []
+    rng = np.random.RandomState(7)
+    for i in range(5):
+        img = rng.randint(0, 256, (16, 16, 3), np.uint8)
+        p = tmp_path / f"{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    labels = np.arange(5, dtype=np.int32)
+    dl = DataLoader(paths, labels, num_classes=5, image_size=16,
+                    batch_size=2, split="val", prefetch=0)
+    batches = list(dl)
+    assert len(batches) == 3
+    got = np.concatenate([b.labels[b.weight > 0] for b in batches])
+    np.testing.assert_array_equal(got, labels)
+    # decoded pixels round-trip through PNG losslessly
+    first = batches[0].images[0]
+    expect = normalize(np.asarray(Image.open(paths[0])))
+    np.testing.assert_allclose(first, expect, atol=1e-6)

@@ -18,3 +18,20 @@ PyTorch reference `sea-with-sakura/ViT-of-Pytorch`:
 """
 
 __version__ = "0.1.0"
+
+from vitax import checkpointing  # noqa: F401,E402
+from vitax import data  # noqa: F401,E402
+from vitax import models  # noqa: F401,E402
+from vitax import ops  # noqa: F401,E402
+from vitax import parallel  # noqa: F401,E402
+from vitax import train  # noqa: F401,E402
+from vitax import utils  # noqa: F401,E402
+from vitax.core.config import (  # noqa: F401,E402
+    ARCH_PRESETS,
+    DATASET_NUM_CLASSES,
+    ResViTConfig,
+    ViTConfig,
+    arch_config,
+    num_classes_for_dataset,
+    resvit_arch_config,
+)
