@@ -84,20 +84,23 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, group):
 
     Q rows are padded only to the 8-sublane boundary (spq), KV rows to the
     128-lane boundary (spk) — score work scales with spq·spk, so the
-    asymmetric padding saves ~20% at seq 197 (200·256 vs 256·256)."""
+    asymmetric padding saves ~20% at seq 197 (200·256 vs 256·256).
+
+    The body is STAGED (all score matmuls, then all softmaxes, then all PV
+    matmuls) instead of per-pair chains: the independent ops inside each
+    stage let Mosaic overlap MXU and VPU work — measured 1.64 → 1.17 ms at
+    B=64/group=8 vs the chained form."""
     spq = q_ref.shape[1]
     spk = k_ref.shape[1]
+    ss = [jax.lax.dot_general(q_ref[g], k_ref[g], _AB_T,
+                              preferred_element_type=jnp.float32) * scale
+          for g in range(group)]
+    if seq_len < spk:  # mask padded KV columns
+        col = jax.lax.broadcasted_iota(jnp.int32, (spq, spk), 1)
+        ss = [jnp.where(col < seq_len, s, -1e30) for s in ss]
+    ps = [_softmax_rows(s) for s in ss]
     for g in range(group):
-        q = q_ref[g]                             # [SPQ, Hd] bf16/f32
-        k = k_ref[g]                             # [SPK, Hd]
-        v = v_ref[g]
-        s = jax.lax.dot_general(q, k, _AB_T,
-                                preferred_element_type=jnp.float32) * scale
-        if seq_len < spk:  # mask padded KV columns
-            col = jax.lax.broadcasted_iota(jnp.int32, (spq, spk), 1)
-            s = jnp.where(col < seq_len, s, -1e30)
-        p = _softmax_rows(s)
-        o_ref[g] = jnp.dot(p.astype(v.dtype), v,
+        o_ref[g] = jnp.dot(ps[g].astype(v_ref.dtype), v_ref[g],
                            preferred_element_type=jnp.float32
                            ).astype(o_ref.dtype)
 
@@ -142,11 +145,12 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
 
 
 def _pick_group(bh: int, sp: int, hd: int, itemsize: int, n_ops: int) -> int:
-    """Largest group whose VMEM working set stays well under budget."""
-    per_pair = n_ops * sp * hd * itemsize + 4 * sp * sp  # operands + p fp32
-    budget = 8 * 1024 * 1024
-    g = max(1, budget // max(per_pair, 1))
-    g = min(g, 16, bh)
+    """Group size for the staged kernel: 8 measured fastest (4 and 16 are
+    slower — too little overlap vs VMEM pressure), bounded by the VMEM
+    working set (the staged form keeps `group` fp32 score matrices live)."""
+    per_pair = n_ops * sp * hd * itemsize + 2 * 4 * sp * sp
+    budget = 10 * 1024 * 1024
+    g = min(8, max(1, budget // max(per_pair, 1)), bh)
     while bh % g:
         g -= 1
     return g
