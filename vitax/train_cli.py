@@ -55,9 +55,11 @@ def train_epoch(epoch, state, train_step, loader, m, writer, tracker,
         labels = jax.device_put(jnp.asarray(batch.labels),
                                 pmesh.batch_sharding(m))
         state, metrics = train_step(state, images, labels)
-        step = int(state.step)
-        writer.set_step(step, "train")
         if i % print_freq == print_freq - 1:
+            # device sync (int/float readbacks) only at print frequency —
+            # per-step syncs would stall the async dispatch pipeline
+            step = int(state.step)
+            writer.set_step(step, "train")
             mh = {k: float(v) for k, v in metrics.items()}
             for k, v in mh.items():
                 tracker.update(k, v)
