@@ -127,3 +127,18 @@ def test_resvit_lora_freezing_smoke(tmp_path):
     cls_b = before["classifier"]["kernel"]
     cls_a = after["classifier"]["kernel"]
     assert not np.array_equal(cls_a, cls_b)  # head trains
+
+
+def test_vit_train_with_device_prep(tmp_path):
+    """--device-prep: uint8 batches + on-device flip/normalize end to end."""
+    from vitax import train_cli
+
+    best = train_cli.main([
+        "--dataset", "Synthetic", "--model-arch", "tiny",
+        "--image-size", "32", "--batch-size", "8",
+        "--synthetic-samples", "48", "--train-steps", "12",
+        "--lr", "0.01", "--warmup-steps", "2",
+        "--num-workers", "0", "--dtype", "float32", "--no-pallas",
+        "--device-prep",
+        "--exp-name", "devprep", "--exp-root", str(tmp_path)])
+    assert 0.0 <= best <= 1.0

@@ -162,3 +162,19 @@ def test_train_teacher_and_dloss_parity(ref):
                                rtol=1e-4, atol=1e-4)
     # default router bias keeps every token on the full path
     assert float(np.asarray(aux["acts"]).mean()) == 1.0
+
+
+@requires_reference
+def test_eval_parity_full_b16_recipe(ref):
+    """Production-scale res-vit: b16 dims with the ft_resvit.sh recipe's
+    routing hyperparameters (lora 48, block 4, start 1, reserve 2)."""
+    cfg = make_cfg(dim=768, mlp_dim=3072, n_layers=12, n_heads=12,
+                   n_kv_heads=12, lora_rank=48, dynamic_start_layer=1,
+                   dynamic_router_hdim=512, dynamic_reserve_initials=2,
+                   low_rank_dim=256, block_size=4, use_lora=True,
+                   image_size=(224, 224), patch_size=(16, 16),
+                   num_classes=100)
+    ref_logits, *_, logits, aux = _run_pair(ref, cfg, seed=6, batch=2)
+    scale = max(1.0, float(np.abs(ref_logits).max()))
+    assert np.max(np.abs(logits - ref_logits)) / scale < 1e-3
+    np.testing.assert_array_equal(logits.argmax(-1), ref_logits.argmax(-1))

@@ -127,3 +127,29 @@ def test_nondivisible_image_crops_like_conv(ref_vit):
         ref_logits = tmodel(torch.from_numpy(x)).numpy()
     logits = np.asarray(vit.apply_nchw(params, jnp.asarray(x), cfg))
     np.testing.assert_allclose(logits, ref_logits, rtol=1e-4, atol=1e-4)
+
+
+@requires_reference
+def test_logit_parity_full_b16(ref_vit):
+    """Full-size ViT-B/16 @224 (86M params, 12 layers): the production
+    architecture, not a tiny proxy — logits ≤1e-3, argmax exact."""
+    import torch
+    cfg = ViTConfig(image_size=(224, 224), patch_size=(16, 16), emb_dim=768,
+                    mlp_dim=3072, num_heads=12, num_layers=12,
+                    num_classes=1000, dropout_rate=0.0, attn_dropout_rate=0.0,
+                    dtype=jnp.float32, use_pallas=False)
+    params = vit.init_params(jax.random.PRNGKey(11), cfg)
+    sd_np = params_to_torch_state_dict(jax.tree.map(np.asarray, params))
+    tmodel = ref_vit.VisionTransformer(
+        image_size=(224, 224), patch_size=(16, 16), emb_dim=768,
+        mlp_dim=3072, num_heads=12, num_layers=12, num_classes=1000,
+        dropout_rate=0.0, attn_dropout_rate=0.0)
+    tmodel.eval()
+    tmodel.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd_np.items()})
+    x = np.random.RandomState(12).randn(2, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(x)).numpy()
+    logits = np.asarray(vit.apply_nchw(params, jnp.asarray(x), cfg))
+    assert np.max(np.abs(logits - ref_logits)) < 1e-3
+    np.testing.assert_array_equal(logits.argmax(-1), ref_logits.argmax(-1))

@@ -50,8 +50,9 @@ def train_epoch(epoch, state, train_step, loader, m, writer, tracker,
     for i, batch in enumerate(loader):
         if batch.weight.sum() < len(batch.weight):
             continue  # partial final train batch: skip like drop_last
-        images = jax.device_put(jnp.asarray(batch.images, state.params[
-            "cls_token"].dtype), pmesh.batch_sharding(m))
+        arr = batch.images if batch.images.dtype == np.uint8 else \
+            np.asarray(batch.images, np.float32)
+        images = jax.device_put(jnp.asarray(arr), pmesh.batch_sharding(m))
         labels = jax.device_put(jnp.asarray(batch.labels),
                                 pmesh.batch_sharding(m))
         state, metrics = train_step(state, images, labels)
@@ -76,8 +77,7 @@ def valid_epoch(epoch, state, eval_step, loader, writer, tracker):
     totals = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0}
     n = 0
     for batch in loader:
-        images = jnp.asarray(batch.images,
-                             state.params["cls_token"].dtype)
+        images = jnp.asarray(batch.images)
         labels = jnp.asarray(batch.labels)
         weight = jnp.asarray(batch.weight)
         metrics = eval_step(state.params, images, labels, weight)
@@ -95,11 +95,14 @@ def valid_epoch(epoch, state, eval_step, loader, writer, tracker):
     return result
 
 
-def make_weighted_eval_step(cfg):
+def make_weighted_eval_step(cfg, device_prep: bool = False):
     """Eval step with a padding mask so the padded final batch counts only
     real samples."""
 
     def step_fn(params, images, labels, weight):
+        if device_prep:
+            from vitax.data.device_prep import preprocess
+            images = preprocess(images, train=False, dtype=cfg.dtype)
         logits = vit.apply(params, images, cfg, train=False)
         logits32 = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits32, axis=-1)
@@ -150,6 +153,8 @@ def main(argv=None):
                   num_workers=config.num_workers, seed=config.seed)
     if config.dataset == "Synthetic":
         common["num_samples"] = config.synthetic_samples
+    if config.device_prep:
+        common["raw"] = True  # uint8 batches; flip+normalize run on device
     train_loader = get_dataloader(config.dataset, split="train", **common)
     valid_loader = get_dataloader(config.dataset, split="val", **common)
 
@@ -194,8 +199,10 @@ def main(argv=None):
 
     with m:
         state = _put(state, m)
-        train_step = make_train_step(cfg, tx, donate=True)
-        eval_step = make_weighted_eval_step(cfg)
+        train_step = make_train_step(cfg, tx, donate=True,
+                                     device_prep=config.device_prep)
+        eval_step = make_weighted_eval_step(cfg,
+                                            device_prep=config.device_prep)
         for epoch in range(start_epoch, epochs):
             state, tr = train_epoch(epoch, state, train_step, train_loader,
                                     m, writer, train_tracker)
