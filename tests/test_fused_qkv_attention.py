@@ -1,0 +1,108 @@
+"""Fused QKV+attention kernel vs the unfused reference math (fwd + grads)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitax.ops import pallas_kernels as pk
+from vitax.ops.attention import mha_ref
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(pk, "_INTERPRET", True)
+
+
+def _ref(xhat, wqkv, bqkv, seq_len, heads, head_dim):
+    """Unfused reference: qkv matmul + per-head attention, numpy-style."""
+    b, spq, d = xhat.shape
+    hhd = heads * head_dim
+    qkv = jnp.einsum("bsd,dk->bsk", xhat, wqkv,
+                     preferred_element_type=jnp.float32) + bqkv
+    qkv = qkv.astype(xhat.dtype)
+    q = qkv[..., :hhd].reshape(b, spq, heads, head_dim)
+    k = qkv[..., hhd:2 * hhd].reshape(b, spq, heads, head_dim)
+    v = qkv[..., 2 * hhd:].reshape(b, spq, heads, head_dim)
+    # mask padded rows out of the KV set like the kernel does
+    if seq_len < spq:
+        scale = 1.0 / (head_dim ** 0.5)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        col = jnp.arange(spq)
+        scores = jnp.where(col[None, None, None, :] < seq_len, scores, -1e30)
+        w = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(xhat.dtype)
+    else:
+        out = mha_ref(q, k, v)
+    return out.reshape(b, spq, hhd)
+
+
+def _setup(seq_len=40, spq=40, heads=3, head_dim=32, d=128, b=2):
+    key = jax.random.PRNGKey(0)
+    xhat = jax.random.normal(key, (b, spq, d), jnp.float32)
+    wqkv = jax.random.normal(jax.random.fold_in(key, 1),
+                             (d, 3 * heads * head_dim), jnp.float32) * 0.05
+    bqkv = jax.random.normal(jax.random.fold_in(key, 2),
+                             (3 * heads * head_dim,), jnp.float32) * 0.1
+    return xhat, wqkv, bqkv
+
+
+def test_forward_matches_unfused():
+    xhat, wqkv, bqkv = _setup()
+    out = pk.fused_qkv_attention(xhat, wqkv, bqkv, 40, 3, 32)
+    ref = _ref(xhat, wqkv, bqkv, 40, 3, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_forward_with_padded_rows():
+    xhat, wqkv, bqkv = _setup(seq_len=33, spq=40)
+    out = pk.fused_qkv_attention(xhat, wqkv, bqkv, 33, 3, 32)
+    ref = _ref(xhat, wqkv, bqkv, 33, 3, 32)
+    np.testing.assert_allclose(np.asarray(out)[:, :33],
+                               np.asarray(ref)[:, :33],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match_unfused():
+    xhat, wqkv, bqkv = _setup(seq_len=33, spq=40)
+
+    def pad_cotangent(f):
+        def loss(x, w, bv):
+            out = f(x, w, bv)
+            return jnp.sum(jnp.sin(out[:, :33]))  # zero cotangent on pad rows
+        return loss
+
+    lp = pad_cotangent(lambda x, w, bv: pk.fused_qkv_attention(
+        x, w, bv, 33, 3, 32))
+    lr = pad_cotangent(lambda x, w, bv: _ref(x, w, bv, 33, 3, 32))
+    gp = jax.grad(lp, argnums=(0, 1, 2))(xhat, wqkv, bqkv)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(xhat, wqkv, bqkv)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a)[np.isfinite(np.asarray(a))],
+                                   np.asarray(b)[np.isfinite(np.asarray(b))],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_model_path_matches_standard():
+    """fused_qkv=True model output and gradients equal the standard path."""
+    from vitax.core.config import ViTConfig
+    from vitax.models import vit
+
+    base = dict(image_size=(32, 32), patch_size=(16, 16), emb_dim=128,
+                mlp_dim=256, num_heads=4, num_layers=2, num_classes=10,
+                dropout_rate=0.0, dtype=jnp.float32, use_pallas=False)
+    p = vit.init_params(jax.random.PRNGKey(0), ViTConfig(**base))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    std = vit.apply(p, x, ViTConfig(**base))
+    fused = vit.apply(p, x, ViTConfig(**base, fused_qkv=True))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(std),
+                               rtol=2e-4, atol=2e-4)
+    g1 = jax.grad(lambda p: jnp.sum(vit.apply(p, x, ViTConfig(**base)) ** 2))(p)
+    g2 = jax.grad(lambda p: jnp.sum(
+        vit.apply(p, x, ViTConfig(**base, fused_qkv=True)) ** 2))(p)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

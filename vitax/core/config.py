@@ -41,6 +41,9 @@ class ViTConfig:
     # outputs, recompute LN/MLP — best memory/FLOPs middle ground)
     remat: object = False
     use_pallas: Optional[bool] = None  # None = auto (True on TPU backends)
+    # fused QKV-projection + attention-core Pallas kernel (weight grads
+    # accumulated in VMEM; see ops/pallas_kernels.fused_qkv_attention)
+    fused_qkv: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

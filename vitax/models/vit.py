@@ -130,6 +130,26 @@ def _attention(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
     projection einsums (the transpose fuses into the matmul's output write),
     so no standalone HBM transpose surrounds the attention kernel."""
     dt = x.dtype
+    if cfg.fused_qkv:
+        from vitax.ops import pallas_kernels as pk
+        b, s, d = x.shape
+        h, hd = cfg.num_heads, cfg.head_dim
+        wq = p["query"]["kernel"].astype(dt).reshape(d, h * hd)
+        wk = p["key"]["kernel"].astype(dt).reshape(d, h * hd)
+        wv = p["value"]["kernel"].astype(dt).reshape(d, h * hd)
+        wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+        if pk.qkv_attention_supported(x, wqkv):
+            bqkv = jnp.concatenate(
+                [p["query"]["bias"].reshape(-1), p["key"]["bias"].reshape(-1),
+                 p["value"]["bias"].reshape(-1)]).astype(jnp.float32)
+            spq = (s + 7) // 8 * 8
+            xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
+            out = pk.fused_qkv_attention(xp, wqkv, bqkv, s, h, hd)[:, :s]
+            y = jnp.einsum("bnk,kd->bnd", out,
+                           p["out"]["kernel"].astype(dt).reshape(h * hd, d),
+                           preferred_element_type=jnp.float32) \
+                + p["out"]["bias"].astype(jnp.float32)
+            return y.astype(dt)
     q = jnp.einsum("bnd,dhk->bhnk", x, p["query"]["kernel"].astype(dt),
                    preferred_element_type=jnp.float32) \
         + p["query"]["bias"].astype(jnp.float32)[None, :, None, :]

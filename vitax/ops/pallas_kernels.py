@@ -391,3 +391,204 @@ def mlp_supported(x, w1, w2) -> bool:
 
 def fused_mlp(x, w1, b1, w2, b2):  # pragma: no cover - gated off
     raise NotImplementedError
+
+
+# =============================================================================
+# Fused QKV-projection + attention core (round-2 item 1, first cut)
+#
+# The kernel-variant sweep (PERF.md) showed attention-only kernels lose to
+# XLA because XLA fuses the attention gradients into the adjacent projection
+# weight-grad matmuls. This kernel subsumes the QKV projection: forward takes
+# the LN output x̂ and the merged [D, 3·H·Hd] weight, computes QKV with ONE
+# well-shaped matmul and the per-head attention core entirely in VMEM;
+# backward recomputes QKV/probs in VMEM, forms dQKV, and produces dx̂ AND the
+# QKV weight/bias gradients by accumulating across the sequential grid
+# (read-modify-write on the revisited output block, like the LN kernel's
+# dγ/dβ). Residuals: just (x̂, W, b) — no q/k/v/probs ever touch HBM.
+# =============================================================================
+
+def qkv_attention_supported(xhat, wqkv) -> bool:
+    if xhat.ndim != 3 or wqkv.ndim != 2:
+        return False
+    b, s, d = xhat.shape
+    if wqkv.shape[0] != d or wqkv.shape[1] % 3 != 0:
+        return False
+    hhd = wqkv.shape[1] // 3
+    # VMEM budget: W (bf16) + fp32 dW accumulator + per-image activations
+    return s <= 1024 and d <= 1024 and hhd <= 1024 and d % 128 == 0
+
+
+def _qkv_attn_fwd_kernel(x_ref, w_ref, b_ref, o_ref, *,
+                         scale, seq_len, heads, head_dim):
+    spq = x_ref.shape[1]
+    x = x_ref[0]                                  # [SPQ, D]
+    qkv = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(x.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+    for h in range(heads):
+        o = h * head_dim
+        q = qkv[:, o:o + head_dim]
+        k = qkv[:, hhd + o:hhd + o + head_dim]
+        v = qkv[:, 2 * hhd + o:2 * hhd + o + head_dim]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        p = _softmax_rows(s)
+        o_ref[0, :, o:o + head_dim] = jnp.dot(
+            p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _qkv_attn_bwd_kernel(x_ref, w_ref, b_ref, do_ref,
+                         dx_ref, dw_ref, db_ref, *,
+                         scale, seq_len, heads, head_dim):
+    i = pl.program_id(0)
+    spq = x_ref.shape[1]
+    x = x_ref[0]
+    qkv = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(x.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+
+    dqkv_parts = []
+    for h in range(heads):
+        o = h * head_dim
+        q = qkv[:, o:o + head_dim]
+        k = qkv[:, hhd + o:hhd + o + head_dim]
+        v = qkv[:, 2 * hhd + o:2 * hhd + o + head_dim]
+        do = do_ref[0, :, o:o + head_dim]
+
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        p = _softmax_rows(s)
+        # out_h = p @ v is needed for D = rowsum(do * out_h)
+        out_h = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, _AB_T,
+                                 preferred_element_type=jnp.float32)
+        d = jnp.sum(do.astype(jnp.float32) * out_h, axis=-1, keepdims=True)
+        ds = (p * (dp - d)).astype(x.dtype)
+        dq = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+              * scale).astype(x.dtype)
+        dk = (jax.lax.dot_general(ds, q, _AT_B,
+                                  preferred_element_type=jnp.float32)
+              * scale).astype(x.dtype)
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _AT_B,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(x.dtype)
+        dqkv_parts.append((dq, dk, dv))
+
+    dqkv = jnp.concatenate(
+        [d for d, _, _ in dqkv_parts]
+        + [d for _, d, _ in dqkv_parts]
+        + [d for _, _, d in dqkv_parts], axis=-1)   # [SPQ, 3·H·Hd]
+
+    dx_ref[0] = jax.lax.dot_general(
+        dqkv, w_ref[:], _AB_T,
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+
+    dw_part = jax.lax.dot_general(x, dqkv, _AT_B,
+                                  preferred_element_type=jnp.float32)
+    db_part = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = dw_part
+        db_ref[:] = db_part
+
+    @pl.when(i > 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw_part
+        db_ref[:] = db_ref[:] + db_part
+
+
+def _qkv_attn_fwd_call(xhat, wqkv, bqkv, scale, seq_len, heads, head_dim):
+    b, spq, d = xhat.shape
+    hhd = heads * head_dim
+    return pl.pallas_call(
+        functools.partial(_qkv_attn_fwd_kernel, scale=scale, seq_len=seq_len,
+                          heads=heads, head_dim=head_dim),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hhd,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, spq, hhd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, spq, hhd), xhat.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * spq * d * 3 * hhd + 4 * b * heads * spq * spq * head_dim,
+            transcendentals=b * heads * spq * spq,
+            bytes_accessed=2 * b * spq * (d + hhd)),
+        interpret=_INTERPRET,
+    )(xhat, wqkv, bqkv)
+
+
+def _qkv_attn_bwd_call(xhat, wqkv, bqkv, do, scale, seq_len, heads, head_dim):
+    b, spq, d = xhat.shape
+    hhd = heads * head_dim
+    return pl.pallas_call(
+        functools.partial(_qkv_attn_bwd_kernel, scale=scale, seq_len=seq_len,
+                          heads=heads, head_dim=head_dim),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hhd,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spq, hhd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hhd,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, spq, d), xhat.dtype),
+                   jax.ShapeDtypeStruct((d, 3 * hhd), jnp.float32),
+                   jax.ShapeDtypeStruct((3 * hhd,), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * spq * d * 3 * hhd + 10 * b * heads * spq * spq * head_dim,
+            transcendentals=b * heads * spq * spq,
+            bytes_accessed=4 * b * spq * (d + hhd)),
+        interpret=_INTERPRET,
+    )(xhat, wqkv, bqkv, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_qkv_attention(xhat, wqkv, bqkv, seq_len, heads, head_dim):
+    """x̂ [B,SPQ,D] (LN output, SPQ = seq padded to 8), merged QKV weight
+    [D, 3·H·Hd] and bias [3·H·Hd] → per-head attention outputs concatenated
+    [B,SPQ,H·Hd] (pre out-projection). Scale = head_dim^-0.5."""
+    scale = 1.0 / math.sqrt(head_dim)
+    return _qkv_attn_fwd_call(xhat, wqkv, bqkv, scale, seq_len, heads,
+                              head_dim)
+
+
+def _fused_qkv_attention_fwd(xhat, wqkv, bqkv, seq_len, heads, head_dim):
+    out = fused_qkv_attention(xhat, wqkv, bqkv, seq_len, heads, head_dim)
+    return out, (xhat, wqkv, bqkv)
+
+
+def _fused_qkv_attention_bwd(seq_len, heads, head_dim, res, do):
+    xhat, wqkv, bqkv = res
+    scale = 1.0 / math.sqrt(head_dim)
+    dx, dw, db = _qkv_attn_bwd_call(xhat, wqkv, bqkv, do, scale, seq_len,
+                                    heads, head_dim)
+    return dx, dw.astype(wqkv.dtype), db.astype(bqkv.dtype)
+
+
+fused_qkv_attention.defvjp(_fused_qkv_attention_fwd, _fused_qkv_attention_bwd)
