@@ -46,6 +46,9 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
                    help="tensor-parallel mesh axis size")
     p.add_argument("--synthetic-samples", type=int, default=512,
                    help="sample count for --dataset Synthetic")
+    p.add_argument("--fused-qkv", action="store_true",
+                   help="fused QKV+attention Pallas kernel (bench default "
+                        "config; +9%% b16 train throughput measured)")
     p.add_argument("--device-prep", action="store_true",
                    help="ship uint8 batches, normalize/flip on device "
                         "(4x less host->device bandwidth)")

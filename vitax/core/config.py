@@ -99,6 +99,9 @@ class ResViTConfig:
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas: Optional[bool] = None
+    # fused QKV+attention kernel (self-attention layers without LoRA only —
+    # LoRA adds a low-rank path before attention that the kernel can't see)
+    fused_qkv: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

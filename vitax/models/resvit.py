@@ -221,6 +221,19 @@ def attention(x: jnp.ndarray, p: Params, cfg: ResViTConfig) -> jnp.ndarray:
     where-merge — all queries are computed (same per-query results)."""
     b, s, _ = x.shape
     h, hkv, hd = cfg.n_heads, (cfg.n_kv_heads or cfg.n_heads), cfg.head_dim
+    if (cfg.fused_qkv and not cfg.use_lora and hkv == h):
+        from vitax.ops import pallas_kernels as pk
+        d = x.shape[-1]
+        dt = x.dtype
+        wqkv = jnp.concatenate([p["wq"]["kernel"], p["wk"]["kernel"],
+                                p["wv"]["kernel"]], axis=1).astype(dt)
+        if pk.qkv_attention_supported(x, wqkv):
+            bqkv = jnp.concatenate([p["wq"]["bias"], p["wk"]["bias"],
+                                    p["wv"]["bias"]]).astype(jnp.float32)
+            spq = (s + 7) // 8 * 8
+            xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
+            out = pk.fused_qkv_attention(xp, wqkv, bqkv, s, h, hd)[:, :s]
+            return _linear(out, p["wo"])
     q = _linear(x, p["wq"])
     k = _linear(x, p["wk"])
     v = _linear(x, p["wv"])

@@ -92,6 +92,9 @@ def get_train_config(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--fused-qkv", action="store_true",
+                   help="fused QKV+attention kernel (non-LoRA layers; +28%% "
+                        "res-vit train throughput measured)")
     p.add_argument("--exp-root", type=str, default="experiments")
     p.add_argument("--synthetic-samples", type=int, default=512)
     cfg = p.parse_args(argv)
@@ -111,7 +114,8 @@ def config_to_model_args(c) -> "resvit_arch_config":
         dynamic_reserve_initials=c.dynamic_reserve_initials,
         low_rank_dim=c.low_rank_dim, block_size=c.block_size,
         use_lora=c.use_lora, use_reslr=c.use_reslr,
-        dtype=dtype, use_pallas=False if c.no_pallas else None)
+        dtype=dtype, fused_qkv=getattr(c, "fused_qkv", False),
+        use_pallas=False if c.no_pallas else None)
 
 
 def _structure_report(params) -> dict:

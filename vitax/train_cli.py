@@ -126,7 +126,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     cfg = arch_config(config.model_arch, image_size=config.image_size,
                       num_classes=config.num_classes, dtype=dtype,
-                      remat=config.remat,
+                      remat=config.remat, fused_qkv=config.fused_qkv,
                       use_pallas=False if config.no_pallas else None)
 
     # model init / pretrained load (head re-init on class mismatch,
