@@ -228,6 +228,9 @@ def attention(x: jnp.ndarray, p: Params, cfg: ResViTConfig) -> jnp.ndarray:
         wqkv = jnp.concatenate([p["wq"]["kernel"], p["wk"]["kernel"],
                                 p["wv"]["kernel"]], axis=1).astype(dt)
         if pk.qkv_attention_supported(x, wqkv):
+            # qkv-only variant here: the qkvo (out-proj-subsuming) kernel
+            # trips the remote compile helper on res-vit's teacher+student
+            # double instantiation; qkv-only compiles reliably (+28%)
             bqkv = jnp.concatenate([p["wq"]["bias"], p["wk"]["bias"],
                                     p["wv"]["bias"]]).astype(jnp.float32)
             spq = (s + 7) // 8 * 8

@@ -142,14 +142,13 @@ def _attention(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
             bqkv = jnp.concatenate(
                 [p["query"]["bias"].reshape(-1), p["key"]["bias"].reshape(-1),
                  p["value"]["bias"].reshape(-1)]).astype(jnp.float32)
+            wo = p["out"]["kernel"].astype(dt).reshape(h * hd, d)
+            bo = p["out"]["bias"].astype(jnp.float32)
             spq = (s + 7) // 8 * 8
             xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
-            out = pk.fused_qkv_attention(xp, wqkv, bqkv, s, h, hd)[:, :s]
-            y = jnp.einsum("bnk,kd->bnd", out,
-                           p["out"]["kernel"].astype(dt).reshape(h * hd, d),
-                           preferred_element_type=jnp.float32) \
-                + p["out"]["bias"].astype(jnp.float32)
-            return y.astype(dt)
+            out = pk.fused_qkvo_attention(xp, wqkv, bqkv, wo, bo,
+                                          s, h, hd)[:, :s]
+            return out.astype(dt)
     q = jnp.einsum("bnd,dhk->bhnk", x, p["query"]["kernel"].astype(dt),
                    preferred_element_type=jnp.float32) \
         + p["query"]["bias"].astype(jnp.float32)[None, :, None, :]

@@ -592,3 +592,197 @@ def _fused_qkv_attention_bwd(seq_len, heads, head_dim, res, do):
 
 
 fused_qkv_attention.defvjp(_fused_qkv_attention_fwd, _fused_qkv_attention_bwd)
+
+
+# --- variant: also subsume the output projection ---------------------------
+
+def _qkvo_attn_fwd_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref, o_ref, *,
+                          scale, seq_len, heads, head_dim):
+    spq = x_ref.shape[1]
+    x = x_ref[0]
+    qkv = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(x.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+    outs = []
+    for h in range(heads):
+        o = h * head_dim
+        q = qkv[:, o:o + head_dim]
+        k = qkv[:, hhd + o:hhd + o + head_dim]
+        v = qkv[:, 2 * hhd + o:2 * hhd + o + head_dim]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        p = _softmax_rows(s)
+        outs.append(jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype))
+    attn = jnp.concatenate(outs, axis=-1)          # [SPQ, H·Hd]
+    y = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = (y + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _qkvo_attn_bwd_kernel(x_ref, w_ref, b_ref, wo_ref, do_ref,
+                          dx_ref, dw_ref, db_ref, dwo_ref, dbo_ref, *,
+                          scale, seq_len, heads, head_dim):
+    i = pl.program_id(0)
+    spq = x_ref.shape[1]
+    x = x_ref[0]
+    do_y = do_ref[0]                               # grad wrt projected output
+    qkv = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(x.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+
+    # recompute per-head attention outputs and probs
+    ps, outs = [], []
+    for h in range(heads):
+        o = h * head_dim
+        q = qkv[:, o:o + head_dim]
+        k = qkv[:, hhd + o:hhd + o + head_dim]
+        v = qkv[:, 2 * hhd + o:2 * hhd + o + head_dim]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        p = _softmax_rows(s)
+        ps.append(p)
+        outs.append(jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype))
+    attn = jnp.concatenate(outs, axis=-1)
+
+    # out-projection grads
+    dattn = jax.lax.dot_general(do_y, wo_ref[:], _AB_T,
+                                preferred_element_type=jnp.float32
+                                ).astype(x.dtype)  # [SPQ, H·Hd]
+    dwo_part = jax.lax.dot_general(attn, do_y, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
+
+    # per-head attention grads from dattn slices
+    dqkv_parts = []
+    for h in range(heads):
+        o = h * head_dim
+        q = qkv[:, o:o + head_dim]
+        k = qkv[:, hhd + o:hhd + o + head_dim]
+        v = qkv[:, 2 * hhd + o:2 * hhd + o + head_dim]
+        do = dattn[:, o:o + head_dim]
+        p = ps[h]
+        out_h = outs[h].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, v, _AB_T,
+                                 preferred_element_type=jnp.float32)
+        d = jnp.sum(do.astype(jnp.float32) * out_h, axis=-1, keepdims=True)
+        ds = (p * (dp - d)).astype(x.dtype)
+        dq = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+              * scale).astype(x.dtype)
+        dk = (jax.lax.dot_general(ds, q, _AT_B,
+                                  preferred_element_type=jnp.float32)
+              * scale).astype(x.dtype)
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _AT_B,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(x.dtype)
+        dqkv_parts.append((dq, dk, dv))
+
+    dqkv = jnp.concatenate(
+        [d for d, _, _ in dqkv_parts]
+        + [d for _, d, _ in dqkv_parts]
+        + [d for _, _, d in dqkv_parts], axis=-1)
+
+    dx_ref[0] = jax.lax.dot_general(
+        dqkv, w_ref[:], _AB_T,
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dw_part = jax.lax.dot_general(x, dqkv, _AT_B,
+                                  preferred_element_type=jnp.float32)
+    db_part = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = dw_part
+        db_ref[:] = db_part
+        dwo_ref[:] = dwo_part
+        dbo_ref[:] = dbo_part
+
+    @pl.when(i > 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw_part
+        db_ref[:] = db_ref[:] + db_part
+        dwo_ref[:] = dwo_ref[:] + dwo_part
+        dbo_ref[:] = dbo_ref[:] + dbo_part
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_qkvo_attention(xhat, wqkv, bqkv, wo, bo, seq_len, heads, head_dim):
+    """Like `fused_qkv_attention` but also subsumes the output projection:
+    x̂ → LN'd input, returns the PROJECTED attention output [B,SPQ,D].
+    Backward additionally accumulates dWo/dbo in VMEM."""
+    scale = 1.0 / math.sqrt(head_dim)
+    b, spq, d = xhat.shape
+    hhd = heads * head_dim
+    return pl.pallas_call(
+        functools.partial(_qkvo_attn_fwd_kernel, scale=scale,
+                          seq_len=seq_len, heads=heads, head_dim=head_dim),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hhd,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, spq, d), xhat.dtype),
+        interpret=_INTERPRET,
+    )(xhat, wqkv, bqkv, wo, bo)
+
+
+def _fused_qkvo_fwd(xhat, wqkv, bqkv, wo, bo, seq_len, heads, head_dim):
+    out = fused_qkvo_attention(xhat, wqkv, bqkv, wo, bo, seq_len, heads,
+                               head_dim)
+    return out, (xhat, wqkv, bqkv, wo)
+
+
+def _fused_qkvo_bwd(seq_len, heads, head_dim, res, do):
+    xhat, wqkv, bqkv, wo = res
+    scale = 1.0 / math.sqrt(head_dim)
+    b, spq, d = xhat.shape
+    hhd = heads * head_dim
+    dx, dw, db, dwo, dbo = pl.pallas_call(
+        functools.partial(_qkvo_attn_bwd_kernel, scale=scale,
+                          seq_len=seq_len, heads=heads, head_dim=head_dim),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hhd,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hhd,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, spq, d), xhat.dtype),
+                   jax.ShapeDtypeStruct((d, 3 * hhd), jnp.float32),
+                   jax.ShapeDtypeStruct((3 * hhd,), jnp.float32),
+                   jax.ShapeDtypeStruct((hhd, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32)),
+        interpret=_INTERPRET,
+    )(xhat, wqkv, bqkv, wo, do)
+    return (dx, dw.astype(wqkv.dtype), db.astype(bqkv.dtype),
+            dwo.astype(wo.dtype), dbo)
+
+
+fused_qkvo_attention.defvjp(_fused_qkvo_fwd, _fused_qkvo_bwd)
