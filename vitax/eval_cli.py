@@ -32,6 +32,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     cfg = arch_config(config.model_arch, image_size=config.image_size,
                       num_classes=config.num_classes, dtype=dtype,
+                      fused_qkv=getattr(config, "fused_qkv", False),
                       use_pallas=False if config.no_pallas else None)
 
     params = vit.init_params(jax.random.PRNGKey(config.seed), cfg)

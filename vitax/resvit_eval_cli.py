@@ -62,6 +62,8 @@ def get_eval_config(argv=None):
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=512)
+    p.add_argument("--fused-qkv", action="store_true",
+                   help="fused QKV+attention kernel (non-LoRA layers)")
     p.add_argument("--compact-capacity", type=float, default=None,
                    help="enable token-compaction inference with this kept "
                         "fraction (e.g. 0.5); exact when it covers the "
