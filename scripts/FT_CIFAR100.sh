@@ -1,6 +1,7 @@
 #!/usr/bin/env bash
 # ViT-B/16 CIFAR-100 fine-tune (src/FT_CIFAR100.sh) — the north-star
 # benchmark workload (BASELINE.md).
+# add --fused-qkv for the fused attention kernel (bench config, +18%)
 python -m vitax.train_cli \
        --exp-name ft \
        --model-arch b16 \
