@@ -106,3 +106,48 @@ def test_fused_model_path_matches_standard():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_fused_model_under_dp_mesh_matches_single_device():
+    """The fused kernel must compose with SPMD batch sharding: DP-8 training
+    equals single-device (XLA partitions around the pallas_call)."""
+    from vitax.core.config import ViTConfig
+    from vitax.models import vit
+    from vitax.parallel import mesh as pmesh
+    from vitax.train import (create_train_state, make_train_step,
+                             onecycle_lr, onecycle_momentum, sgd_momentum)
+
+    base = dict(image_size=(32, 32), patch_size=(16, 16), emb_dim=128,
+                mlp_dim=256, num_heads=4, num_layers=2, num_classes=10,
+                dropout_rate=0.0, dtype=jnp.float32, use_pallas=False,
+                fused_qkv=True)
+    cfg = ViTConfig(**base)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    tx = sgd_momentum(onecycle_lr(0.01, 100, 0.1),
+                      momentum_schedule=onecycle_momentum(100, 0.1))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    images = jax.random.normal(key, (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (16,), 0, 10)
+
+    step1 = make_train_step(cfg, tx, donate=False)
+    s1, m1 = step1(state, images, labels)
+
+    m = pmesh.make_mesh(n_data=8, n_model=1, devices=jax.devices()[:8])
+    with m:
+        pshard = pmesh.vit_param_shardings(state.params, m)
+        st = state._replace(
+            params=jax.device_put(state.params, pshard),
+            opt_state=jax.device_put(
+                state.opt_state,
+                pmesh.opt_state_shardings(state.opt_state, state.params,
+                                          pshard, m)))
+        step8 = make_train_step(cfg, tx, donate=False)
+        s8, m8 = step8(st, jax.device_put(images, pmesh.batch_sharding(m)),
+                       jax.device_put(labels, pmesh.batch_sharding(m)))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
