@@ -165,15 +165,50 @@ def _attention(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
     return y.astype(dt)
 
 
+def _fused_block_attention(x: jnp.ndarray, lp: Params,
+                           cfg: ViTConfig) -> Optional[jnp.ndarray]:
+    """LN1 + QKV + attention + out-projection in ONE Pallas kernel
+    (ops.pallas_kernels.fused_ln_qkvo_attention) — neither x̂ nor any
+    per-head intermediate touches HBM; LN and all projection weight grads
+    accumulate in VMEM. Returns None when the shape gate rejects."""
+    from vitax.ops import pallas_kernels as pk
+    dt = x.dtype
+    b, s, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    p = lp["attn"]
+    wq = p["query"]["kernel"].astype(dt).reshape(d, h * hd)
+    wk = p["key"]["kernel"].astype(dt).reshape(d, h * hd)
+    wv = p["value"]["kernel"].astype(dt).reshape(d, h * hd)
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+    if not pk.qkv_attention_supported(x, wqkv):
+        return None
+    bqkv = jnp.concatenate(
+        [p["query"]["bias"].reshape(-1), p["key"]["bias"].reshape(-1),
+         p["value"]["bias"].reshape(-1)]).astype(jnp.float32)
+    wo = p["out"]["kernel"].astype(dt).reshape(h * hd, d)
+    bo = p["out"]["bias"].astype(jnp.float32)
+    spq = (s + 7) // 8 * 8
+    # zero-pad: LN of a zero row is finite, and padded-row cotangents are
+    # zero, so no gradient leaks from padding (kernel docstring)
+    xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
+    out = pk.fused_ln_qkvo_attention(
+        xp, lp["ln1"]["scale"].astype(jnp.float32),
+        lp["ln1"]["bias"].astype(jnp.float32), wqkv, bqkv, wo, bo,
+        LN_EPS, s, h, hd)[:, :s]
+    return out.astype(dt)
+
+
 def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
            rng: Optional[jax.Array], deterministic: bool) -> jnp.ndarray:
     """Pre-LN encoder block (src/model.py:117-130)."""
     r1 = r2 = r3 = None
     if rng is not None:
         r1, r2, r3 = jax.random.split(rng, 3)
-    h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], LN_EPS,
-                   use_pallas=cfg.use_pallas)
-    h = _attention(h, lp["attn"], cfg)
+    h = _fused_block_attention(x, lp, cfg) if cfg.fused_qkv else None
+    if h is None:
+        h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], LN_EPS,
+                       use_pallas=cfg.use_pallas)
+        h = _attention(h, lp["attn"], cfg)
     # named residual: the selective-remat policy keeps attention outputs and
     # recomputes the (cheaper, memory-fat) LN+MLP half of the block
     h = checkpoint_name(h, "attn_out")

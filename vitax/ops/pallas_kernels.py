@@ -817,3 +817,249 @@ def _fused_qkvo_bwd(seq_len, heads, head_dim, res, do):
 
 
 fused_qkvo_attention.defvjp(_fused_qkvo_fwd, _fused_qkvo_bwd)
+
+
+# --- variant: also subsume the pre-attention LayerNorm ----------------------
+#
+# Removes the x̂ HBM materialization between LN and the kernel (~29 MB × 12
+# layers per pass at batch 96) and folds the LN backward into the same
+# kernel; dγ/dβ accumulate across the grid like the projection grads.
+# Padded rows are zero-filled by the wrapper, so LN of a pad row is finite
+# (mean 0, var 0) and its zero cotangent kills every gradient contribution.
+
+def _ln_qkvo_fwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, bo_ref,
+                        o_ref, *, eps, scale, seq_len, heads, head_dim, tile):
+    spq = x_ref.shape[1]
+    d = x_ref.shape[2]
+    x = x_ref[:].reshape(tile * spq, d).astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xhat = xc * jax.lax.rsqrt(var + eps)
+    xn = (xhat * g_ref[:].astype(jnp.float32)
+          + be_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    qkv = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(xn.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+    outs = []
+    for t in range(tile):
+        sl = slice(t * spq, (t + 1) * spq)
+        for h in range(heads):
+            o = h * head_dim
+            q = qkv[sl, o:o + head_dim]
+            k = qkv[sl, hhd + o:hhd + o + head_dim]
+            v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
+            s = jax.lax.dot_general(q, k, _AB_T,
+                                    preferred_element_type=jnp.float32) * scale
+            if seq_len < spq:
+                s = jnp.where(col < seq_len, s, -1e30)
+            p = _softmax_rows(s)
+            outs.append(jnp.dot(p.astype(v.dtype), v,
+                                preferred_element_type=jnp.float32
+                                ).astype(xn.dtype))
+    attn = jnp.concatenate(
+        [jnp.concatenate(outs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
+    y = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+    y = (y + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = y.reshape(tile, spq, d)
+
+
+def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
+                        dx_ref, dg_ref, dbe_ref, dw_ref, db_ref, dwo_ref,
+                        dbo_ref, *, eps, scale, seq_len, heads, head_dim):
+    i = pl.program_id(0)
+    spq = x_ref.shape[1]
+    d_model = x_ref.shape[2]
+    x = x_ref[0].astype(jnp.float32)
+    do_y = do_ref[0]
+    g32 = g_ref[:].astype(jnp.float32)
+
+    # recompute LN
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    xn = (xhat * g32 + be_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+
+    qkv = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(xn.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+
+    ps, outs = [], []
+    for h in range(heads):
+        o = h * head_dim
+        q = qkv[:, o:o + head_dim]
+        k = qkv[:, hhd + o:hhd + o + head_dim]
+        v = qkv[:, 2 * hhd + o:2 * hhd + o + head_dim]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        p = _softmax_rows(s)
+        ps.append(p)
+        outs.append(jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32
+                            ).astype(xn.dtype))
+    attn = jnp.concatenate(outs, axis=-1)
+
+    dattn = jax.lax.dot_general(do_y, wo_ref[:], _AB_T,
+                                preferred_element_type=jnp.float32
+                                ).astype(xn.dtype)
+    dwo_part = jax.lax.dot_general(attn, do_y, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
+
+    dqkv_parts = []
+    for h in range(heads):
+        o = h * head_dim
+        q = qkv[:, o:o + head_dim]
+        k = qkv[:, hhd + o:hhd + o + head_dim]
+        v = qkv[:, 2 * hhd + o:2 * hhd + o + head_dim]
+        do = dattn[:, o:o + head_dim]
+        p = ps[h]
+        out_h = outs[h].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, v, _AB_T,
+                                 preferred_element_type=jnp.float32)
+        dd = jnp.sum(do.astype(jnp.float32) * out_h, axis=-1, keepdims=True)
+        ds = (p * (dp - dd)).astype(xn.dtype)
+        dq = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+              * scale).astype(xn.dtype)
+        dk = (jax.lax.dot_general(ds, q, _AT_B,
+                                  preferred_element_type=jnp.float32)
+              * scale).astype(xn.dtype)
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _AT_B,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(xn.dtype)
+        dqkv_parts.append((dq, dk, dv))
+
+    dqkv = jnp.concatenate(
+        [d for d, _, _ in dqkv_parts]
+        + [d for _, d, _ in dqkv_parts]
+        + [d for _, _, d in dqkv_parts], axis=-1)
+
+    dxn = jax.lax.dot_general(dqkv, w_ref[:], _AB_T,
+                              preferred_element_type=jnp.float32)
+    # LN backward (fp32): dx = rstd·(dxn·γ − mean(dxn·γ) − xhat·mean(dxn·γ·xhat))
+    dyg = dxn * g32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dyg - m1 - xhat * m2)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    dg_part = jnp.sum(dxn * xhat, axis=0)
+    dbe_part = jnp.sum(dxn, axis=0)
+    dw_part = jax.lax.dot_general(xn, dqkv, _AT_B,
+                                  preferred_element_type=jnp.float32)
+    db_part = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw_ref[:] = dw_part
+        db_ref[:] = db_part
+        dwo_ref[:] = dwo_part
+        dbo_ref[:] = dbo_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw_ref[:] = dw_ref[:] + dw_part
+        db_ref[:] = db_ref[:] + db_part
+        dwo_ref[:] = dwo_ref[:] + dwo_part
+        dbo_ref[:] = dbo_ref[:] + dbo_part
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
+                            eps, seq_len, heads, head_dim):
+    """LN + QKV projection + attention core + out-projection in one kernel.
+    Takes the PRE-LN block input x [B,SPQ,D] (pad rows zero-filled);
+    backward emits dx through the LN and accumulates dγ/dβ/dW/db/dWo/dbo."""
+    scale = 1.0 / math.sqrt(head_dim)
+    b, spq, d = x.shape
+    hhd = heads * head_dim
+    tile = _qkvo_tile(b)
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_qkvo_fwd_kernel, eps=eps, scale=scale,
+                          seq_len=seq_len, heads=heads, head_dim=head_dim,
+                          tile=tile),
+        grid=(b // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(d), vec(d),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(3 * hhd),
+            pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(d),
+        ],
+        out_specs=pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, spq, d), x.dtype),
+        interpret=_INTERPRET,
+    )(x, gamma, beta, wqkv, bqkv, wo, bo)
+
+
+def _fused_ln_qkvo_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
+                       eps, seq_len, heads, head_dim):
+    out = fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
+                                  eps, seq_len, heads, head_dim)
+    return out, (x, gamma, beta, wqkv, bqkv, wo)
+
+
+def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, res, do):
+    x, gamma, beta, wqkv, bqkv, wo = res
+    scale = 1.0 / math.sqrt(head_dim)
+    b, spq, d = x.shape
+    hhd = heads * head_dim
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
+        functools.partial(_ln_qkvo_bwd_kernel, eps=eps, scale=scale,
+                          seq_len=seq_len, heads=heads, head_dim=head_dim),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(d), vec(d),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(3 * hhd),
+            pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(d), vec(d),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(3 * hhd),
+            pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(d),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, spq, d), x.dtype),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d, 3 * hhd), jnp.float32),
+                   jax.ShapeDtypeStruct((3 * hhd,), jnp.float32),
+                   jax.ShapeDtypeStruct((hhd, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32)),
+        interpret=_INTERPRET,
+    )(x, gamma, beta, wqkv, bqkv, wo, do)
+    return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw.astype(wqkv.dtype), db.astype(bqkv.dtype),
+            dwo.astype(wo.dtype), dbo)
+
+
+fused_ln_qkvo_attention.defvjp(_fused_ln_qkvo_fwd, _fused_ln_qkvo_bwd)
