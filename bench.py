@@ -30,18 +30,21 @@ def main():
     steps = 60 if on_tpu else 3
     warmup = 5 if on_tpu else 1
 
-    # Primary config: fused QKV-projection+attention Pallas kernel (weight
-    # grads accumulated in VMEM, probs never touch HBM) + "selective" remat
-    # (keep attention outputs, recompute the memory-fat LN/MLP/GELU half).
-    # 744 img/s measured at batch 96 vs 680 for the best pure-XLA config.
-    # Fallback: the remote compile helper 500s on a few program shapes;
-    # if the fused config fails to compile, fall back to pure XLA @ 32.
-    configs = ([(96, True), (32, False)] if on_tpu else [(16, False)])
-    for batch, fused in configs:
+    # Primary config: BOTH block halves fused into Pallas kernels —
+    # LN1+QKV+attention+out-proj (weight grads accumulated in VMEM, probs
+    # never touch HBM) and LN2+fc1+GELU+fc2 (dW1/dW2 accumulated in VMEM,
+    # GELU activations never touch HBM) + "selective" remat. Batch 128
+    # measured fastest (969.6 img/s round 2); batch 192 fails the remote
+    # compile helper. Fallbacks degrade gracefully; the JSON line records
+    # which config actually ran so a fused-path regression is visible.
+    configs = ([(128, True, True), (96, True, False), (32, False, False)]
+               if on_tpu else [(16, False, False)])
+    for batch, fused, fused_mlp in configs:
         try:
             cfg = arch_config("b16", image_size=224, num_classes=100,
                               dtype=jnp.bfloat16, remat="selective",
-                              use_pallas=False, fused_qkv=fused)
+                              use_pallas=False, fused_qkv=fused,
+                              fused_mlp=fused_mlp)
             return _measure(cfg, batch, steps, warmup)
         except Exception as e:  # compile-helper flakiness: try the fallback
             last_err = e
@@ -84,6 +87,8 @@ def _measure(cfg, batch, steps, warmup):
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
+        "config": {"batch": batch, "fused_qkv": cfg.fused_qkv,
+                   "fused_mlp": cfg.fused_mlp, "remat": cfg.remat},
     }))
     return img_per_sec
 

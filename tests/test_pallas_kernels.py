@@ -112,3 +112,105 @@ def test_layernorm_grads_match_ref():
 def test_layernorm_supported_gate():
     assert pk.layernorm_supported(jnp.zeros((4, 128)))
     assert not pk.layernorm_supported(jnp.zeros((4, 100)))
+
+
+def _mlp_ref(x, g, b, w1, b1, w2, b2, eps=1e-5):
+    """jnp composition matching models/vit._block's unfused MLP half."""
+    h = layer_norm_ref(x, g, b, eps)
+    h1 = jnp.einsum("...d,dm->...m", h, w1,
+                    preferred_element_type=jnp.float32) + b1
+    h1 = jax.nn.gelu(h1, approximate=False).astype(x.dtype)
+    h2 = jnp.einsum("...m,md->...d", h1, w2,
+                    preferred_element_type=jnp.float32) + b2
+    return x + h2.astype(x.dtype)
+
+
+def _mlp_args(key, b=2, s=197, d=128, m=256, dtype=jnp.float32):
+    ks = jax.random.split(key, 7)
+    x = jax.random.normal(ks[0], (b, s, d), dtype)
+    g = jax.random.normal(ks[1], (d,)) * 0.1 + 1.0
+    be = jax.random.normal(ks[2], (d,)) * 0.1
+    w1 = (jax.random.normal(ks[3], (d, m)) * d ** -0.5).astype(dtype)
+    b1 = jax.random.normal(ks[4], (m,)) * 0.1
+    w2 = (jax.random.normal(ks[5], (m, d)) * m ** -0.5).astype(dtype)
+    b2 = jax.random.normal(ks[6], (d,)) * 0.1
+    return x, g, be, w1, b1, w2, b2
+
+
+def test_ln_mlp_forward_matches_ref():
+    args = _mlp_args(jax.random.PRNGKey(6))
+    out = pk.fused_ln_mlp(*args, 1e-5)
+    ref = _mlp_ref(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ln_mlp_forward_padded_rows():
+    # b*s = 150 rows: not a multiple of the row block — exercises padding
+    args = _mlp_args(jax.random.PRNGKey(7), b=1, s=150)
+    out = pk.fused_ln_mlp(*args, 1e-5)
+    ref = _mlp_ref(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ln_mlp_grads_match_ref():
+    args = _mlp_args(jax.random.PRNGKey(8), b=2, s=100, d=128, m=384)
+
+    def loss_pallas(*a):
+        return jnp.sum(jnp.sin(pk.fused_ln_mlp(*a, 1e-5)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(_mlp_ref(*a)))
+
+    gp = jax.grad(loss_pallas, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for name, a, b_ in zip("x g be w1 b1 w2 b2".split(), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_ln_mlp_bf16():
+    args = _mlp_args(jax.random.PRNGKey(9), dtype=jnp.bfloat16)
+    out = pk.fused_ln_mlp(*args, 1e-5)
+    ref = _mlp_ref(*args)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_ln_mlp_supported_gate():
+    x = jnp.zeros((2, 197, 768))
+    assert pk.ln_mlp_supported(x, jnp.zeros((768, 3072)),
+                               jnp.zeros((3072, 768)))
+    # non-128-multiple width rejected
+    assert not pk.ln_mlp_supported(jnp.zeros((2, 197, 100)),
+                                   jnp.zeros((100, 256)),
+                                   jnp.zeros((256, 100)))
+    # VMEM budget gate (accumulators would exceed ~96 MB)
+    assert not pk.ln_mlp_supported(jnp.zeros((2, 197, 4096)),
+                                   jnp.zeros((4096, 16384)),
+                                   jnp.zeros((16384, 4096)))
+
+
+def test_fused_mlp_model_path_matches_standard():
+    """fused_mlp=True model output and gradients equal the standard path."""
+    from vitax.core.config import ViTConfig
+    from vitax.models import vit
+
+    base = dict(image_size=(32, 32), patch_size=(16, 16), emb_dim=128,
+                mlp_dim=256, num_heads=4, num_layers=2, num_classes=10,
+                dropout_rate=0.0, dtype=jnp.float32, use_pallas=False)
+    p = vit.init_params(jax.random.PRNGKey(0), ViTConfig(**base))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    std = vit.apply(p, x, ViTConfig(**base))
+    fused = vit.apply(p, x, ViTConfig(**base, fused_mlp=True))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(std),
+                               rtol=2e-4, atol=2e-4)
+    g1 = jax.grad(lambda p: jnp.sum(vit.apply(p, x, ViTConfig(**base)) ** 2))(p)
+    g2 = jax.grad(lambda p: jnp.sum(
+        vit.apply(p, x, ViTConfig(**base, fused_mlp=True)) ** 2))(p)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

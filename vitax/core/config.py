@@ -44,6 +44,9 @@ class ViTConfig:
     # fused QKV-projection + attention-core Pallas kernel (weight grads
     # accumulated in VMEM; see ops/pallas_kernels.fused_qkv_attention)
     fused_qkv: bool = False
+    # fused LN2+fc1+GELU+fc2+residual Pallas kernel (dW1/dW2 accumulated in
+    # VMEM; see ops/pallas_kernels.fused_ln_mlp)
+    fused_mlp: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

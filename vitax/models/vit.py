@@ -198,6 +198,26 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params,
     return out.astype(dt)
 
 
+def _fused_block_mlp(x: jnp.ndarray, lp: Params,
+                     cfg: ViTConfig) -> Optional[jnp.ndarray]:
+    """LN2 + fc1 + GELU + fc2 + residual in ONE Pallas kernel
+    (ops.pallas_kernels.fused_ln_mlp): neither the LN output, the GELU
+    pre-activations, nor the [N,M] intermediate gradient ever touch HBM;
+    dW1/dW2 accumulate in VMEM. Returns None when the shape gate rejects.
+    Only valid with the block dropouts inactive (all presets set them 0,
+    src/config.py:64-65)."""
+    from vitax.ops import pallas_kernels as pk
+    w1 = lp["mlp"]["fc1"]["kernel"].astype(x.dtype)
+    w2 = lp["mlp"]["fc2"]["kernel"].astype(x.dtype)
+    if not pk.ln_mlp_supported(x, w1, w2):
+        return None
+    return pk.fused_ln_mlp(
+        x, lp["ln2"]["scale"].astype(jnp.float32),
+        lp["ln2"]["bias"].astype(jnp.float32),
+        w1, lp["mlp"]["fc1"]["bias"].astype(jnp.float32),
+        w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), LN_EPS)
+
+
 def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
            rng: Optional[jax.Array], deterministic: bool) -> jnp.ndarray:
     """Pre-LN encoder block (src/model.py:117-130)."""
@@ -214,6 +234,10 @@ def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
     h = checkpoint_name(h, "attn_out")
     h = _dropout(h, cfg.dropout_rate, r1, deterministic)
     x = x + h
+    if cfg.fused_mlp and (deterministic or cfg.dropout_rate <= 0.0):
+        y = _fused_block_mlp(x, lp, cfg)
+        if y is not None:
+            return y
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], LN_EPS,
                    use_pallas=cfg.use_pallas)
     # MlpBlock with its two dropouts (src/model.py:41-51)

@@ -177,6 +177,7 @@ def _attn_fwd(q, k, v, scale, seq_len):
             flops=4 * bh * spq * spk * hd, transcendentals=bh * spq * spk,
             bytes_accessed=4 * bh * spk * hd * q.dtype.itemsize),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(q, k, v)
     return out
 
@@ -202,6 +203,7 @@ def _attn_bwd(scale, seq_len, residuals, do):
             flops=10 * bh * spq * spk * hd, transcendentals=bh * spq * spk,
             bytes_accessed=8 * bh * spk * hd * q.dtype.itemsize),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(q, k, v, out, do)
     return dq, dk, dv
 
@@ -324,6 +326,7 @@ def _ln_fwd(x2, gamma, beta, eps):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, d), x2.dtype),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(x2, gamma, beta)
     return y
 
@@ -350,6 +353,7 @@ def _ln_bwd_call(x2, gamma, dy2, eps):
                    jax.ShapeDtypeStruct((d,), jnp.float32),
                    jax.ShapeDtypeStruct((d,), jnp.float32)),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(x2, gamma, dy2)
     return dx, dg, db
 
@@ -381,16 +385,300 @@ def layer_norm(x, scale, bias, eps):
 
 
 # =============================================================================
-# Fused MLP — not yet a kernel: XLA already fuses bias+GELU into the matmul
-# epilogues on TPU; measured before building (SURVEY §7 step 5 order).
+# Fused LN2 + MLP + residual — the whole second half of the encoder block in
+# one kernel: out = x + fc2(GELU(fc1(LN(x)))).
+#
+# Replaces the reference MlpBlock + its surrounding LN/residual
+# (src/model.py:25-51,126-129). Rationale (PERF.md round-1 profile): the
+# backward scan is dominated by the MLP recompute/grads — under XLA the fp32
+# GELU activations and the [N,M] intermediate gradients stream through HBM.
+# Here neither the LN output, the fc1 pre-activations, nor dh1 ever exist in
+# HBM: the backward kernel recomputes them per row-block in VMEM and
+# accumulates BOTH weight-grad matrices (dW1 [D,M] and dW2 [M,D], fp32)
+# in-VMEM across the sequential grid, exactly like the attention-half
+# kernel's dW/dWo. (v5e VMEM is ~128 MB — measured on-chip this round; the
+# round-1 "3-kernel split" plan assumed ~16 MB and is unnecessary.)
+#
+# The kernel is ROW-BLOCKED, not image-blocked: LN/MLP have no cross-token
+# structure, so [B,S,D] flattens to [N,D] rows and the grid tiles rows. This
+# keeps the matmuls tall ([R,768]@[768,3072]) and makes weight blocks
+# constant across the grid (fetched once, resident in VMEM).
+#
+# Padding: the wrapper pads N up to the row-block multiple with zero rows.
+# LN of a zero row is finite (mean 0, var 0 → xhat 0 → xn = β); every
+# gradient term carries a factor of the cotangent, which the slice-VJP
+# zero-pads, so pad rows contribute exactly zero to every gradient.
 # =============================================================================
 
-def mlp_supported(x, w1, w2) -> bool:
-    return False
+import os as _os
+_MLP_BLOCK_ROWS = int(_os.environ.get("VITAX_MLP_ROWS", 256))
+_MLP_FWD_CHUNKS = int(_os.environ.get("VITAX_MLP_CHUNKS", 2))
+
+# XLA's default *scoped* VMEM budget for a custom call is only 16 MB —
+# far below the ~128 MB physically present (measured on-chip; the limit
+# is what round-1 misread as a hardware ceiling). Kernels that keep
+# weights + fp32 weight-grad accumulators resident must raise it.
+_VMEM_LIMIT = dict(compiler_params=pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024))
 
 
-def fused_mlp(x, w1, b1, w2, b2):  # pragma: no cover - gated off
-    raise NotImplementedError
+def ln_mlp_supported(x, w1, w2) -> bool:
+    if x.ndim != 3 or w1.ndim != 2 or w2.ndim != 2:
+        return False
+    d = x.shape[-1]
+    m = w1.shape[1]
+    if w1.shape[0] != d or w2.shape != (m, d):
+        return False
+    # weights (bf16) + both fp32 accumulators resident: 12·d·m bytes;
+    # keep ≲ 96 MB of the ~128 MB VMEM (h14: d=1280, m=5120 → 79 MB, ok)
+    return d % 128 == 0 and m % 128 == 0 and 12 * d * m <= 96 * 1024 * 1024
+
+
+def _poly(x, coefs):
+    r = jnp.full_like(x, coefs[0])
+    for c in coefs[1:]:
+        r = r * x + c
+    return r
+
+
+def _erf(x):
+    """f32 erf as a rational polynomial (XLA's ErfImpl32 expansion —
+    Mosaic has no erf primitive). Max abs error vs lax.erf ≈ 1e-6 on
+    [-8, 8], far inside the ≤1e-4 logit-parity budget."""
+    cx = jnp.clip(x, -4.0, 4.0)
+    x2 = cx * cx
+    alpha = _poly(x2, (0.00022905065861350646, 0.0034082910107109506,
+                       0.050955695062380861, 0.18520832239976145,
+                       1.128379143519084))
+    beta = _poly(x2, (-1.1791602954361697e-7, 2.3547966471313185e-5,
+                      0.0010179625278914885, 0.014070470171167667,
+                      0.11098505178285362, 0.49746925110067538, 1.0))
+    return cx * alpha / beta
+
+
+def _gelu_exact(a):
+    # exact-erf GELU in fp32 (src/model.py GELU default; parity-critical)
+    return 0.5 * a * (1.0 + _erf(a * (2.0 ** -0.5)))
+
+
+def _gelu_grad(a):
+    phi = 0.5 * (1.0 + _erf(a * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * a * a) * (1.0 / math.sqrt(2.0 * math.pi))
+    return phi + a * pdf
+
+
+def _ln_mlp_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       o_ref, *, eps, chunks):
+    """STAGED over `chunks` independent row sub-blocks: all LNs, then all
+    fc1 matmuls, then all GELUs, then all fc2 matmuls. The per-chunk chains
+    are independent, so Mosaic overlaps chunk i's GELU (VPU) with chunk
+    i+1's matmul (MXU) — the chained single-block form measured VPU-bound
+    at ~78 TF/s because the exact-erf GELU serializes against the MXU."""
+    rows = x_ref.shape[0] // chunks
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    b1f = b1_ref[:].astype(jnp.float32)
+    b2f = b2_ref[:].astype(jnp.float32)
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+
+    xns = []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xhat = xc * jax.lax.rsqrt(var + eps)
+        xns.append((xhat * g32 + be32).astype(x_ref.dtype))
+    a1s = [jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1f
+           for xn in xns]
+    h1s = [_gelu_exact(a1).astype(x_ref.dtype) for a1 in a1s]
+    for sl, h1 in zip(sls, h1s):
+        y = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2f
+        o_ref[sl, :] = x_ref[sl, :] + y.astype(x_ref.dtype)
+
+
+def _ln_mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
+                       dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref,
+                       db2_ref, *, eps):
+    i = pl.program_id(0)
+    x32 = x_ref[:].astype(jnp.float32)
+    g32 = g_ref[:].astype(jnp.float32)
+    do = do_ref[:]
+
+    # recompute the forward in VMEM (nothing was persisted)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    xn = (xhat * g32 + be_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    a1 = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) \
+        + b1_ref[:].astype(jnp.float32)
+    h1 = _gelu_exact(a1).astype(x_ref.dtype)
+
+    # fc2 grads
+    dw2_part = jax.lax.dot_general(h1, do, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    db2_part = jnp.sum(do.astype(jnp.float32), axis=0)
+
+    # through GELU to fc1
+    dh1f = jax.lax.dot_general(do, w2_ref[:], _AB_T,
+                               preferred_element_type=jnp.float32)
+    dh1 = (dh1f * _gelu_grad(a1)).astype(x_ref.dtype)
+    dw1_part = jax.lax.dot_general(xn, dh1, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    db1_part = jnp.sum(dh1.astype(jnp.float32), axis=0)
+
+    # through LN to the block input; residual adds do
+    dxn = jax.lax.dot_general(dh1, w1_ref[:], _AB_T,
+                              preferred_element_type=jnp.float32)
+    dyg = dxn * g32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dxln = rstd * (dyg - m1 - xhat * m2)
+    dx_ref[:] = do + dxln.astype(dx_ref.dtype)
+
+    dg_part = jnp.sum(dxn * xhat, axis=0)
+    dbe_part = jnp.sum(dxn, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw1_ref[:] = dw1_part
+        db1_ref[:] = db1_part
+        dw2_ref[:] = dw2_part
+        db2_ref[:] = db2_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw1_ref[:] = dw1_ref[:] + dw1_part
+        db1_ref[:] = db1_ref[:] + db1_part
+        dw2_ref[:] = dw2_ref[:] + dw2_part
+        db2_ref[:] = db2_ref[:] + db2_part
+
+
+def _ln_mlp_rows(n: int) -> int:
+    return min(_MLP_BLOCK_ROWS, _round_up(n, 16))
+
+
+def _ln_mlp_pad(n: int) -> int:
+    """Padded row count: multiple of the bwd row block, and of the staged
+    fwd block (rows x chunks) whenever n is big enough to stage."""
+    if n < 2 * _MLP_BLOCK_ROWS:
+        return _round_up(n, 16) if n < _MLP_BLOCK_ROWS \
+            else _round_up(n, _MLP_BLOCK_ROWS)
+    npad = _round_up(n, _MLP_BLOCK_ROWS)
+    if npad % (_MLP_BLOCK_ROWS * _MLP_FWD_CHUNKS):
+        npad += _MLP_BLOCK_ROWS
+    return npad
+
+
+def _ln_mlp_fwd_geometry(npad: int):
+    """(block_rows, chunks) for the staged forward, given padded n."""
+    rows = _ln_mlp_rows(npad)
+    full = rows * _MLP_FWD_CHUNKS
+    if npad % full == 0:
+        return full, _MLP_FWD_CHUNKS
+    return rows, 1
+
+
+def _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps):
+    n, d = x2.shape
+    m = w1.shape[1]
+    rows, chunks = _ln_mlp_fwd_geometry(n)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_fwd_kernel, eps=eps, chunks=chunks),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d),
+                  pl.BlockSpec((d, m), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(m),
+                  pl.BlockSpec((m, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d)],
+        out_specs=row_blk,
+        out_shape=jax.ShapeDtypeStruct((n, d), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * m, transcendentals=n * m,
+            bytes_accessed=2 * n * d * x2.dtype.itemsize + 4 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1, b1, w2, b2)
+
+
+def _ln_mlp_bwd_call(x2, gamma, beta, w1, b1, w2, do2, eps):
+    n, d = x2.shape
+    m = w1.shape[1]
+    rows = _ln_mlp_rows(n)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_kernel, eps=eps),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
+                  row_blk],
+        out_specs=(row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
+                   vec(d)),
+        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d, m), jnp.float32),
+                   jax.ShapeDtypeStruct((m,), jnp.float32),
+                   jax.ShapeDtypeStruct((m, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * d * m, transcendentals=2 * n * m,
+            bytes_accessed=3 * n * d * x2.dtype.itemsize + 16 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1, b1, w2, do2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _ln_mlp_2d(x2, gamma, beta, w1, b1, w2, b2, eps):
+    return _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps)
+
+
+def _ln_mlp_2d_fwd(x2, gamma, beta, w1, b1, w2, b2, eps):
+    out = _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps)
+    return out, (x2, gamma, beta, w1, b1, w2)
+
+
+def _ln_mlp_2d_bwd(eps, res, do2):
+    x2, gamma, beta, w1, b1, w2 = res
+    dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_call(
+        x2, gamma, beta, w1, b1, w2, do2, eps)
+    return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2)
+
+
+_ln_mlp_2d.defvjp(_ln_mlp_2d_fwd, _ln_mlp_2d_bwd)
+
+
+def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps):
+    """out = x + fc2(GELU_exact(fc1(LN(x)))) for x [B,S,D] (or any leading
+    shape); LN statistics and all grad accumulation fp32. Returns x.dtype."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    n = x2.shape[0]
+    npad = _ln_mlp_pad(n)
+    if npad != n:
+        x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
+    out = _ln_mlp_2d(x2, gamma, beta, w1, b1, w2, b2, eps)
+    if npad != n:
+        out = out[:n]
+    return out.reshape(*lead, d)
 
 
 # =============================================================================
@@ -529,6 +817,7 @@ def _qkv_attn_fwd_call(xhat, wqkv, bqkv, scale, seq_len, heads, head_dim):
             transcendentals=b * heads * spq * spq,
             bytes_accessed=2 * b * spq * (d + hhd)),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(xhat, wqkv, bqkv)
 
 
@@ -565,6 +854,7 @@ def _qkv_attn_bwd_call(xhat, wqkv, bqkv, do, scale, seq_len, heads, head_dim):
             transcendentals=b * heads * spq * spq,
             bytes_accessed=4 * b * spq * (d + hhd)),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(xhat, wqkv, bqkv, do)
 
 
@@ -766,6 +1056,7 @@ def fused_qkvo_attention(xhat, wqkv, bqkv, wo, bo, seq_len, heads, head_dim):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, spq, d), xhat.dtype),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(xhat, wqkv, bqkv, wo, bo)
 
 
@@ -811,6 +1102,7 @@ def _fused_qkvo_bwd(seq_len, heads, head_dim, res, do):
                    jax.ShapeDtypeStruct((hhd, d), jnp.float32),
                    jax.ShapeDtypeStruct((d,), jnp.float32)),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(xhat, wqkv, bqkv, wo, do)
     return (dx, dw.astype(wqkv.dtype), db.astype(bqkv.dtype),
             dwo.astype(wo.dtype), dbo)
@@ -842,22 +1134,30 @@ def _ln_qkvo_fwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, bo_ref,
     qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(xn.dtype)
     hhd = heads * head_dim
     col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
-    outs = []
-    for t in range(tile):
+    # STAGED body (PERF.md round-1 lesson): all score matmuls, then all
+    # softmaxes, then all PV matmuls — the (tile·heads) chains are
+    # independent, letting Mosaic overlap VPU softmaxes with MXU matmuls.
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+    ss = []
+    for t, h in ths:
         sl = slice(t * spq, (t + 1) * spq)
-        for h in range(heads):
-            o = h * head_dim
-            q = qkv[sl, o:o + head_dim]
-            k = qkv[sl, hhd + o:hhd + o + head_dim]
-            v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
-            s = jax.lax.dot_general(q, k, _AB_T,
-                                    preferred_element_type=jnp.float32) * scale
-            if seq_len < spq:
-                s = jnp.where(col < seq_len, s, -1e30)
-            p = _softmax_rows(s)
-            outs.append(jnp.dot(p.astype(v.dtype), v,
-                                preferred_element_type=jnp.float32
-                                ).astype(xn.dtype))
+        o = h * head_dim
+        q = qkv[sl, o:o + head_dim]
+        k = qkv[sl, hhd + o:hhd + o + head_dim]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        ss.append(s)
+    pss = [_softmax_rows(s) for s in ss]
+    outs = []
+    for (t, h), p in zip(ths, pss):
+        sl = slice(t * spq, (t + 1) * spq)
+        o = h * head_dim
+        v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
+        outs.append(jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32
+                            ).astype(xn.dtype))
     attn = jnp.concatenate(
         [jnp.concatenate(outs[t * heads:(t + 1) * heads], axis=-1)
          for t in range(tile)], axis=0)
@@ -1006,6 +1306,7 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, spq, d), x.dtype),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(x, gamma, beta, wqkv, bqkv, wo, bo)
 
 
@@ -1056,6 +1357,7 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, res, do):
                    jax.ShapeDtypeStruct((hhd, d), jnp.float32),
                    jax.ShapeDtypeStruct((d,), jnp.float32)),
         interpret=_INTERPRET,
+        **_VMEM_LIMIT,
     )(x, gamma, beta, wqkv, bqkv, wo, do)
     return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
             dw.astype(wqkv.dtype), db.astype(bqkv.dtype),

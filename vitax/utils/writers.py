@@ -87,12 +87,18 @@ class ExperimentWriter:
         if backend == "tensorboard":
             try:
                 self._b = TensorboardBackend(logdir)
-            except Exception:
+            except Exception as e:
+                warnings.warn(
+                    f"tensorboard writer init failed ({e!r}); metrics will "
+                    "NOT be logged — falling back to the no-op backend")
                 self._b = NullBackend()
         elif backend == "swanlab":
             try:
                 self._b = SwanlabBackend(project, exp_name, logdir)
-            except Exception:
+            except Exception as e:
+                warnings.warn(
+                    f"swanlab writer init failed ({e!r}); metrics will "
+                    "NOT be logged — falling back to the no-op backend")
                 self._b = NullBackend()
         else:
             self._b = NullBackend()
