@@ -84,3 +84,63 @@ def test_big_tensor_and_many_keys(tmp_path):
     got = torch.load(str(p), weights_only=False)
     assert len(got) == 300
     np.testing.assert_array_equal(got["k299"].numpy(), sd["k299"])
+
+
+# -- legacy (pre-1.6 sequential-pickle) format --------------------------------
+
+def test_read_torch_legacy_format(tmp_path):
+    """torch.save(_use_new_zipfile_serialization=False) emits the legacy
+    sequential-pickle stream the reference's torch.load also accepts
+    (src/checkpoint.py:13); load_pth must dispatch and read it."""
+    sd_np = _rand_state_dict()
+    sd_t = {k: torch.from_numpy(v.copy()) for k, v in sd_np.items()}
+    p = tmp_path / "legacy.pth"
+    torch.save(sd_t, p, _use_new_zipfile_serialization=False)
+    import zipfile
+    assert not zipfile.is_zipfile(p)  # really the legacy stream
+    got = load_pth(str(p))
+    assert set(got) == set(sd_np)
+    for k in sd_np:
+        np.testing.assert_array_equal(got[k], sd_np[k])
+
+
+def test_read_torch_legacy_wrapped_and_views(tmp_path):
+    """Legacy format with a {'state_dict': ...} wrapper, scalars, and
+    non-contiguous tensors sharing one storage (exercises strides and the
+    shared-root-storage path)."""
+    w = torch.randn(6, 6)
+    obj = {"state_dict": {"w": w, "w_t": w.t(), "w_slice": w[1:5:2]},
+           "epoch": 7, "lr": 0.25, "name": "legacy-best",
+           "nested": {"lrs": [0.1, 0.2], "steps": (1, 2, 3)}}
+    p = tmp_path / "legacy2.pth"
+    torch.save(obj, p, _use_new_zipfile_serialization=False)
+    got = load_pth(str(p))
+    np.testing.assert_allclose(got["state_dict"]["w"], w.numpy())
+    np.testing.assert_allclose(got["state_dict"]["w_t"], w.t().numpy())
+    np.testing.assert_allclose(got["state_dict"]["w_slice"],
+                               w[1:5:2].numpy())
+    assert got["epoch"] == 7 and got["name"] == "legacy-best"
+    assert got["nested"]["steps"] == (1, 2, 3)
+    sd = load_state_dict_pth(str(p))
+    assert set(sd) == {"w", "w_t", "w_slice"}
+
+
+def test_read_torch_legacy_bf16_and_dtypes(tmp_path):
+    t = {"bf": torch.arange(16, dtype=torch.bfloat16).reshape(4, 4) / 8,
+         "half": torch.randn(3, 5).half(),
+         "i32": torch.arange(6, dtype=torch.int32),
+         "u8": torch.arange(4, dtype=torch.uint8)}
+    p = tmp_path / "legacy3.pth"
+    torch.save(t, p, _use_new_zipfile_serialization=False)
+    got = load_pth(str(p))
+    np.testing.assert_allclose(got["bf"], t["bf"].float().numpy())
+    np.testing.assert_allclose(got["half"], t["half"].numpy())
+    np.testing.assert_array_equal(got["i32"], t["i32"].numpy())
+    np.testing.assert_array_equal(got["u8"], t["u8"].numpy())
+
+
+def test_legacy_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.pth"
+    p.write_bytes(b"\x80\x02K\x01.")  # a pickle, but not the torch magic
+    with pytest.raises(ValueError, match="not a torch .pth"):
+        load_pth(str(p))

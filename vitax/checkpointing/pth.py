@@ -139,16 +139,183 @@ class _PthUnpickler(pickle.Unpickler):
 
 
 def load_pth(path: str) -> Any:
-    """Load a `.pth` archive into numpy-backed python objects.
+    """Load a `.pth` file into numpy-backed python objects.
 
+    Dispatches on the on-disk format the same way torch.load does
+    (src/checkpoint.py:13 reads either transparently):
+      - zip archive        -> torch >= 1.6 default (`_use_new_zipfile_...=True`)
+      - sequential pickles -> legacy format (`_use_new_zipfile_...=False`)
     Tensors become numpy arrays (bf16 widened to fp32). Unresolvable torch
     objects (e.g. whole pickled modules) come back as inert stubs."""
+    if not zipfile.is_zipfile(path):
+        return _load_pth_legacy(path)
     with zipfile.ZipFile(path) as zf:
         names = zf.namelist()
         pkl = next(n for n in names if n.endswith("data.pkl"))
         prefix = pkl[: -len("data.pkl")]
         with zf.open(pkl) as f:
             return _PthUnpickler(io.BytesIO(f.read()), zf, prefix).load()
+
+
+# -- legacy (pre-torch-1.6) sequential-pickle format --------------------------
+#
+# torch.save(obj, f, _use_new_zipfile_serialization=False) writes, in order:
+#   1. pickle: magic number 0x1950a86a20f9469cfc6c
+#   2. pickle: protocol version 1001
+#   3. pickle: sys_info dict (endianness, type sizes)
+#   4. pickle: the object; storages are persistent ids
+#      ('storage', StorageType, root_key, location, numel, view_metadata)
+#   5. pickle: list of root storage keys, in serialization order
+#   6. for each root key: <int64 numel> followed by numel*itemsize raw bytes
+#
+# Storage DATA arrives after the object pickle, so tensor rebuilds are
+# deferred: persistent_load returns shared _LazyStorage cells, the rebuild
+# functions return _PendingTensor nodes, and the tree is materialized once
+# the tail section has filled every cell.
+
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+
+class _LazyStorage:
+    __slots__ = ("storage_type", "data")
+
+    def __init__(self, storage_type: str):
+        self.storage_type = storage_type
+        self.data: Optional[bytes] = None
+
+
+class _PendingTensor:
+    __slots__ = ("storage", "offset", "size", "stride")
+
+    def __init__(self, storage, offset, size, stride):
+        self.storage = storage
+        self.offset = offset
+        self.size = size
+        self.stride = stride
+
+    def materialize(self) -> np.ndarray:
+        if self.storage.data is None:
+            raise ValueError("legacy .pth storage data section incomplete")
+        dtype = STORAGE_TO_DTYPE[self.storage.storage_type]
+        flat = np.frombuffer(self.storage.data, dtype=dtype)
+        if self.storage.storage_type == "BFloat16Storage":
+            flat = (flat.astype(np.uint32) << 16).view(np.float32)
+        itemsize = flat.dtype.itemsize
+        strides_bytes = tuple(s * itemsize for s in self.stride)
+        arr = np.lib.stride_tricks.as_strided(
+            flat[self.offset:], shape=tuple(self.size), strides=strides_bytes)
+        return np.array(arr)
+
+
+class _LegacyUnpickler(pickle.Unpickler):
+    """Object-pickle unpickler for the legacy format: storages resolve to
+    shared _LazyStorage cells keyed by root key; views slice the root lazily
+    at materialization time (views carry their own byte range)."""
+
+    def __init__(self, file, storages: Dict[str, _LazyStorage],
+                 views: Dict[str, Tuple[str, int, int]]):
+        super().__init__(file, encoding="latin1")
+        self._storages = storages
+        self._views = views
+
+    def persistent_load(self, pid):
+        if pid[0] != "storage":
+            raise pickle.UnpicklingError(
+                f"unsupported legacy persistent id {pid[0]!r}")
+        storage_type, root_key, _location, _numel = pid[1:5]
+        view_metadata = pid[5] if len(pid) > 5 else None
+        st_name = (storage_type.name
+                   if isinstance(storage_type, _TorchGlobalStub)
+                   else str(storage_type))
+        if root_key not in self._storages:
+            self._storages[root_key] = _LazyStorage(st_name)
+        root = self._storages[root_key]
+        if view_metadata is not None:
+            view_key, view_offset, view_size = view_metadata
+            if view_key not in self._views:
+                self._views[view_key] = (root_key, view_offset, view_size)
+            view = _LazyStorage(st_name)
+            # resolved later: _fill_views copies the root's byte slice in
+            view.data = ("__view__", root_key, view_offset, view_size)
+            return view
+        return root
+
+    def find_class(self, module, name):
+        if module == "torch._utils" and name in ("_rebuild_tensor_v2",
+                                                 "_rebuild_tensor"):
+            if name == "_rebuild_tensor":
+                return lambda st, off, size, stride: _PendingTensor(
+                    st, off, size, stride)
+            return lambda st, off, size, stride, *rest: _PendingTensor(
+                st, off, size, stride)
+        if module == "torch._utils" and name == "_rebuild_parameter":
+            return _rebuild_parameter
+        if module.startswith("torch"):
+            return _TorchGlobalStub(module, name)
+        if module == "collections" and name == "OrderedDict":
+            return dict
+        if module in ("builtins", "__builtin__"):
+            return super().find_class(module, name)
+        if module.startswith("numpy"):
+            return super().find_class(module, name)
+        return _TorchGlobalStub(module, name)
+
+
+def _materialize_tree(obj: Any) -> Any:
+    if isinstance(obj, _PendingTensor):
+        return obj.materialize()
+    if isinstance(obj, dict):
+        return {k: _materialize_tree(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_materialize_tree(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_materialize_tree(v) for v in obj)
+    return obj
+
+
+def _load_pth_legacy(path: str) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = io.BytesIO(data)
+
+    plain = pickle.Unpickler(buf, encoding="latin1")
+    magic = plain.load()
+    if magic != _LEGACY_MAGIC:
+        raise ValueError(
+            f"{path}: not a torch .pth file (neither zip nor legacy "
+            f"sequential-pickle; magic={magic!r})")
+    _protocol = pickle.Unpickler(buf, encoding="latin1").load()
+    _sys_info = pickle.Unpickler(buf, encoding="latin1").load()
+
+    storages: Dict[str, _LazyStorage] = {}
+    views: Dict[str, Tuple[str, int, int]] = {}
+    result = _LegacyUnpickler(buf, storages, views).load()
+
+    keys = pickle.Unpickler(buf, encoding="latin1").load()
+    for key in keys:
+        cell = storages[key]
+        itemsize = STORAGE_TO_DTYPE[cell.storage_type].itemsize
+        (numel,) = struct.unpack("<q", buf.read(8))
+        cell.data = buf.read(numel * itemsize)
+
+    def resolve_views(obj):
+        # view cells hold ('__view__', root_key, offset_elems, size_elems)
+        if isinstance(obj, _PendingTensor) and isinstance(obj.storage.data,
+                                                          tuple):
+            tag, root_key, off, size = obj.storage.data
+            assert tag == "__view__"
+            root = storages[root_key]
+            itemsize = STORAGE_TO_DTYPE[root.storage_type].itemsize
+            obj.storage.data = root.data[off * itemsize:(off + size) * itemsize]
+        elif isinstance(obj, dict):
+            for v in obj.values():
+                resolve_views(v)
+        elif isinstance(obj, (list, tuple)):
+            for v in obj:
+                resolve_views(v)
+
+    resolve_views(result)
+    return _materialize_tree(result)
 
 
 # -- writer -------------------------------------------------------------------
