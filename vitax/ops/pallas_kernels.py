@@ -441,19 +441,24 @@ def _poly(x, coefs):
     return r
 
 
+# Divide-free erf: Chebyshev-fit of erf(x)/x as a degree-14 polynomial in
+# t = x²/8 - 1 on x ∈ [0,4] (odd extension beyond). fp32 max abs error vs
+# lax.erf: 1.45e-6 on [-8,8] — same band as XLA's rational ErfImpl32 but
+# with no VPU divide (Horner is pure FMA). Mosaic has no erf primitive.
+_ERF_P14 = (0.0033338547218590975, -0.006100607570260763,
+            0.0005925343721173704, -0.002744878176599741,
+            0.01863764598965645, -0.02711489424109459,
+            0.030743902549147606, -0.04385055601596832,
+            0.06055564433336258, -0.07512713223695755,
+            0.09011507779359818, -0.10767411440610886,
+            0.13168011605739594, -0.17657718062400818,
+            0.3535309433937073)
+
+
 def _erf(x):
-    """f32 erf as a rational polynomial (XLA's ErfImpl32 expansion —
-    Mosaic has no erf primitive). Max abs error vs lax.erf ≈ 1e-6 on
-    [-8, 8], far inside the ≤1e-4 logit-parity budget."""
     cx = jnp.clip(x, -4.0, 4.0)
-    x2 = cx * cx
-    alpha = _poly(x2, (0.00022905065861350646, 0.0034082910107109506,
-                       0.050955695062380861, 0.18520832239976145,
-                       1.128379143519084))
-    beta = _poly(x2, (-1.1791602954361697e-7, 2.3547966471313185e-5,
-                      0.0010179625278914885, 0.014070470171167667,
-                      0.11098505178285362, 0.49746925110067538, 1.0))
-    return cx * alpha / beta
+    t = cx * cx * 0.125 - 1.0
+    return cx * _poly(t, _ERF_P14)
 
 
 def _gelu_exact(a):
@@ -468,7 +473,7 @@ def _gelu_grad(a):
 
 
 def _ln_mlp_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                       o_ref, *, eps, chunks):
+                       o_ref, *, eps, chunks, residual):
     """STAGED over `chunks` independent row sub-blocks: all LNs, then all
     fc1 matmuls, then all GELUs, then all fc2 matmuls. The per-chunk chains
     are independent, so Mosaic overlaps chunk i's GELU (VPU) with chunk
@@ -494,12 +499,15 @@ def _ln_mlp_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h1s = [_gelu_exact(a1).astype(x_ref.dtype) for a1 in a1s]
     for sl, h1 in zip(sls, h1s):
         y = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2f
-        o_ref[sl, :] = x_ref[sl, :] + y.astype(x_ref.dtype)
+        if residual:
+            o_ref[sl, :] = x_ref[sl, :] + y.astype(x_ref.dtype)
+        else:  # TP per-shard partial sum: the caller adds x (and b2) once
+            o_ref[sl, :] = y.astype(x_ref.dtype)
 
 
 def _ln_mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
                        dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref,
-                       db2_ref, *, eps):
+                       db2_ref, *, eps, residual):
     i = pl.program_id(0)
     x32 = x_ref[:].astype(jnp.float32)
     g32 = g_ref[:].astype(jnp.float32)
@@ -536,7 +544,10 @@ def _ln_mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
     m1 = jnp.mean(dyg, axis=-1, keepdims=True)
     m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
     dxln = rstd * (dyg - m1 - xhat * m2)
-    dx_ref[:] = do + dxln.astype(dx_ref.dtype)
+    if residual:
+        dx_ref[:] = do + dxln.astype(dx_ref.dtype)
+    else:
+        dx_ref[:] = dxln.astype(dx_ref.dtype)
 
     dg_part = jnp.sum(dxn * xhat, axis=0)
     dbe_part = jnp.sum(dxn, axis=0)
@@ -585,7 +596,7 @@ def _ln_mlp_fwd_geometry(npad: int):
     return rows, 1
 
 
-def _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps):
+def _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
     n, d = x2.shape
     m = w1.shape[1]
     rows, chunks = _ln_mlp_fwd_geometry(n)
@@ -593,7 +604,8 @@ def _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps):
     row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_ln_mlp_fwd_kernel, eps=eps, chunks=chunks),
+        functools.partial(_ln_mlp_fwd_kernel, eps=eps, chunks=chunks,
+                          residual=residual),
         grid=(n // rows,),
         in_specs=[row_blk, vec(d), vec(d),
                   pl.BlockSpec((d, m), lambda i: (0, 0),
@@ -612,7 +624,7 @@ def _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps):
     )(x2, gamma, beta, w1, b1, w2, b2)
 
 
-def _ln_mlp_bwd_call(x2, gamma, beta, w1, b1, w2, do2, eps):
+def _ln_mlp_bwd_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual):
     n, d = x2.shape
     m = w1.shape[1]
     rows = _ln_mlp_rows(n)
@@ -622,7 +634,7 @@ def _ln_mlp_bwd_call(x2, gamma, beta, w1, b1, w2, do2, eps):
     row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_ln_mlp_bwd_kernel, eps=eps),
+        functools.partial(_ln_mlp_bwd_kernel, eps=eps, residual=residual),
         grid=(n // rows,),
         in_specs=[row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
                   row_blk],
@@ -643,20 +655,20 @@ def _ln_mlp_bwd_call(x2, gamma, beta, w1, b1, w2, do2, eps):
     )(x2, gamma, beta, w1, b1, w2, do2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _ln_mlp_2d(x2, gamma, beta, w1, b1, w2, b2, eps):
-    return _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ln_mlp_2d(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    return _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
 
 
-def _ln_mlp_2d_fwd(x2, gamma, beta, w1, b1, w2, b2, eps):
-    out = _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps)
+def _ln_mlp_2d_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    out = _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
     return out, (x2, gamma, beta, w1, b1, w2)
 
 
-def _ln_mlp_2d_bwd(eps, res, do2):
+def _ln_mlp_2d_bwd(eps, residual, res, do2):
     x2, gamma, beta, w1, b1, w2 = res
     dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_call(
-        x2, gamma, beta, w1, b1, w2, do2, eps)
+        x2, gamma, beta, w1, b1, w2, do2, eps, residual)
     return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2)
@@ -665,9 +677,11 @@ def _ln_mlp_2d_bwd(eps, res, do2):
 _ln_mlp_2d.defvjp(_ln_mlp_2d_fwd, _ln_mlp_2d_bwd)
 
 
-def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps):
+def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True):
     """out = x + fc2(GELU_exact(fc1(LN(x)))) for x [B,S,D] (or any leading
-    shape); LN statistics and all grad accumulation fp32. Returns x.dtype."""
+    shape); LN statistics and all grad accumulation fp32. Returns x.dtype.
+    residual=False returns just fc2(GELU(fc1(LN(x)))) + b2 — for TP
+    shard_map callers that psum per-shard partials and add x once."""
     lead = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
@@ -675,7 +689,7 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps):
     npad = _ln_mlp_pad(n)
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
-    out = _ln_mlp_2d(x2, gamma, beta, w1, b1, w2, b2, eps)
+    out = _ln_mlp_2d(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
     if npad != n:
         out = out[:n]
     return out.reshape(*lead, d)
