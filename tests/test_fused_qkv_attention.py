@@ -151,3 +151,86 @@ def test_fused_model_under_dp_mesh_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_resvit_fused_with_lora_matches_unfused():
+    """The default res-vit recipe has --use_lora True; the fused kernel must
+    serve it via the exact weight fold W_eff = W + A@B (LoRA a/b carry no
+    bias, res-vit/model.py LoRAModule). Forward AND grads must match the
+    unfused composition."""
+    from vitax.core.config import ResViTConfig
+    from vitax.models import resvit
+
+    base = dict(dim=128, mlp_dim=256, n_layers=2, n_heads=4, n_kv_heads=4,
+                lora_rank=4, dynamic_start_layer=1, dynamic_router_hdim=32,
+                dynamic_reserve_initials=1, low_rank_dim=8, block_size=1,
+                use_lora=True, use_reslr=True, image_size=(32, 32),
+                patch_size=(16, 16), num_classes=7, dropout=0.0,
+                dtype=jnp.float32, param_dtype=jnp.float32, use_pallas=False)
+    cfg0 = ResViTConfig(**base)
+    cfg1 = ResViTConfig(**base, fused_qkv=True)
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg0)
+    # LoRA b inits to N(0,0.01) — bump a/b so the delta is non-trivial
+    for lid in range(2):
+        att = params["layers"][lid]["attention"]
+        for nm in ("lora_q", "lora_k", "lora_v"):
+            att[nm]["a"]["kernel"] = att[nm]["a"]["kernel"] * 10
+            att[nm]["b"]["kernel"] = att[nm]["b"]["kernel"] * 10
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(2)
+
+    out0, _ = resvit.apply(params, x, cfg0, train=True, rng=rng)
+    out1, _ = resvit.apply(params, x, cfg1, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(p, cfg):
+        logits, aux = resvit.apply(p, x, cfg, train=True, rng=rng)
+        return jnp.sum(logits ** 2) + aux["d_loss"]
+
+    g0 = jax.grad(loss)(params, cfg0)
+    g1 = jax.grad(loss)(params, cfg1)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = jax.tree.leaves(g1)
+    for (path, a), b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_resvit_fused_qkvo_and_mlp_matches_unfused():
+    """qkvo (out-proj-subsuming) + fused LN+MLP variants must match the
+    plain composition for the routed res-vit model (fwd + grads)."""
+    from vitax.core.config import ResViTConfig
+    from vitax.models import resvit
+
+    base = dict(dim=128, mlp_dim=256, n_layers=2, n_heads=4, n_kv_heads=4,
+                lora_rank=4, dynamic_start_layer=1, dynamic_router_hdim=32,
+                dynamic_reserve_initials=1, low_rank_dim=8, block_size=1,
+                use_lora=True, use_reslr=True, image_size=(32, 32),
+                patch_size=(16, 16), num_classes=7, dropout=0.0,
+                dtype=jnp.float32, param_dtype=jnp.float32, use_pallas=False)
+    cfg0 = ResViTConfig(**base)
+    cfg1 = ResViTConfig(**base, fused_qkv=True, fused_qkvo=True,
+                        fused_mlp=True)
+    params = resvit.init_params(jax.random.PRNGKey(4), cfg0)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(6)
+
+    out0, _ = resvit.apply(params, x, cfg0, train=True, rng=rng)
+    out1, _ = resvit.apply(params, x, cfg1, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(p, cfg):
+        logits, aux = resvit.apply(p, x, cfg, train=True, rng=rng)
+        return jnp.sum(logits ** 2) + aux["d_loss"]
+
+    g0 = jax.grad(loss)(params, cfg0)
+    g1 = jax.grad(loss)(params, cfg1)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = jax.tree.leaves(g1)
+    for (path, a), b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=jax.tree_util.keystr(path))

@@ -102,9 +102,15 @@ class ResViTConfig:
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas: Optional[bool] = None
-    # fused QKV+attention kernel (self-attention layers without LoRA only —
-    # LoRA adds a low-rank path before attention that the kernel can't see)
+    # fused QKV+attention kernel; LoRA folds into the base weights exactly
+    # (W_eff = W + A@B — LoRA a/b carry no bias) so the kernel serves the
+    # default --use_lora recipe too
     fused_qkv: bool = False
+    # also subsume the out-projection in the kernel (round-1's opaque
+    # compile failures were the 16MB scoped-VMEM default, since raised)
+    fused_qkvo: bool = False
+    # fused LN+fc1+GELU+fc2+residual kernel for the feed-forward half
+    fused_mlp: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
