@@ -165,17 +165,44 @@ def _attention(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
     return y.astype(dt)
 
 
-def _fused_block_attention(x: jnp.ndarray, lp: Params,
-                           cfg: ViTConfig) -> Optional[jnp.ndarray]:
+def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
+                           mesh=None) -> Optional[jnp.ndarray]:
     """LN1 + QKV + attention + out-projection in ONE Pallas kernel
     (ops.pallas_kernels.fused_ln_qkvo_attention) — neither x̂ nor any
     per-head intermediate touches HBM; LN and all projection weight grads
-    accumulate in VMEM. Returns None when the shape gate rejects."""
+    accumulate in VMEM. Returns None when the shape gate rejects.
+    With a model-parallel mesh, runs per-shard via shard_map (Megatron
+    head/row split + one psum) instead of letting XLA all-gather wqkv."""
     from vitax.ops import pallas_kernels as pk
     dt = x.dtype
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
     p = lp["attn"]
+
+    tp = 1
+    if mesh is not None:
+        from vitax.parallel.tp_kernels import tp_size
+        tp = tp_size(mesh)
+    if tp > 1 and h % tp == 0:
+        if not pk.qkv_attention_supported(
+                x, jnp.zeros((d, 3 * (h // tp) * hd), dt)):
+            return None
+        from vitax.parallel.tp_kernels import fused_ln_qkvo_attention_tp
+        spq = (s + 7) // 8 * 8
+        xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
+        out = fused_ln_qkvo_attention_tp(
+            xp, lp["ln1"]["scale"].astype(jnp.float32),
+            lp["ln1"]["bias"].astype(jnp.float32),
+            p["query"]["kernel"].astype(dt), p["key"]["kernel"].astype(dt),
+            p["value"]["kernel"].astype(dt),
+            p["query"]["bias"].astype(jnp.float32),
+            p["key"]["bias"].astype(jnp.float32),
+            p["value"]["bias"].astype(jnp.float32),
+            p["out"]["kernel"].astype(dt),
+            p["out"]["bias"].astype(jnp.float32),
+            mesh, LN_EPS, s, h, hd)[:, :s]
+        return out.astype(dt)
+
     wq = p["query"]["kernel"].astype(dt).reshape(d, h * hd)
     wk = p["key"]["kernel"].astype(dt).reshape(d, h * hd)
     wv = p["value"]["kernel"].astype(dt).reshape(d, h * hd)
@@ -198,17 +225,34 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params,
     return out.astype(dt)
 
 
-def _fused_block_mlp(x: jnp.ndarray, lp: Params,
-                     cfg: ViTConfig) -> Optional[jnp.ndarray]:
+def _fused_block_mlp(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
+                     mesh=None) -> Optional[jnp.ndarray]:
     """LN2 + fc1 + GELU + fc2 + residual in ONE Pallas kernel
     (ops.pallas_kernels.fused_ln_mlp): neither the LN output, the GELU
     pre-activations, nor the [N,M] intermediate gradient ever touch HBM;
     dW1/dW2 accumulate in VMEM. Returns None when the shape gate rejects.
     Only valid with the block dropouts inactive (all presets set them 0,
-    src/config.py:64-65)."""
+    src/config.py:64-65). With a model-parallel mesh, runs per-shard
+    (fc1 column- / fc2 row-parallel + one psum) via shard_map."""
     from vitax.ops import pallas_kernels as pk
     w1 = lp["mlp"]["fc1"]["kernel"].astype(x.dtype)
     w2 = lp["mlp"]["fc2"]["kernel"].astype(x.dtype)
+
+    tp = 1
+    if mesh is not None:
+        from vitax.parallel.tp_kernels import tp_size
+        tp = tp_size(mesh)
+    if tp > 1 and w1.shape[1] % tp == 0:
+        m_local = w1.shape[1] // tp
+        if not pk.ln_mlp_supported(x, w1[:, :m_local], w2[:m_local]):
+            return None
+        from vitax.parallel.tp_kernels import fused_ln_mlp_tp
+        return fused_ln_mlp_tp(
+            x, lp["ln2"]["scale"].astype(jnp.float32),
+            lp["ln2"]["bias"].astype(jnp.float32),
+            w1, lp["mlp"]["fc1"]["bias"].astype(jnp.float32),
+            w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), mesh, LN_EPS)
+
     if not pk.ln_mlp_supported(x, w1, w2):
         return None
     return pk.fused_ln_mlp(
@@ -219,12 +263,13 @@ def _fused_block_mlp(x: jnp.ndarray, lp: Params,
 
 
 def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
-           rng: Optional[jax.Array], deterministic: bool) -> jnp.ndarray:
+           rng: Optional[jax.Array], deterministic: bool,
+           mesh=None) -> jnp.ndarray:
     """Pre-LN encoder block (src/model.py:117-130)."""
     r1 = r2 = r3 = None
     if rng is not None:
         r1, r2, r3 = jax.random.split(rng, 3)
-    h = _fused_block_attention(x, lp, cfg) if cfg.fused_qkv else None
+    h = _fused_block_attention(x, lp, cfg, mesh) if cfg.fused_qkv else None
     if h is None:
         h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], LN_EPS,
                        use_pallas=cfg.use_pallas)
@@ -235,7 +280,7 @@ def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
     h = _dropout(h, cfg.dropout_rate, r1, deterministic)
     x = x + h
     if cfg.fused_mlp and (deterministic or cfg.dropout_rate <= 0.0):
-        y = _fused_block_mlp(x, lp, cfg)
+        y = _fused_block_mlp(x, lp, cfg, mesh)
         if y is not None:
             return y
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], LN_EPS,
@@ -270,8 +315,11 @@ def embed(params: Params, images: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
 
 
 def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
-          train: bool = False, rng: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Forward pass: NHWC images [B,H,W,3] → logits [B, num_classes]."""
+          train: bool = False, rng: Optional[jax.Array] = None,
+          mesh=None) -> jnp.ndarray:
+    """Forward pass: NHWC images [B,H,W,3] → logits [B, num_classes].
+    `mesh`: optional device mesh — with a model axis >1 the fused kernels
+    run per-shard via shard_map (no weight all-gather)."""
     deterministic = not train or cfg.dropout_rate <= 0.0
     x = embed(params, images, cfg)
     if not deterministic and rng is not None:
@@ -298,11 +346,11 @@ def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
 
     def body(x, inputs):
         lp, r = inputs
-        return _block(x, lp, cfg, r, deterministic), None
+        return _block(x, lp, cfg, r, deterministic, mesh), None
 
     if layer_rngs is None:
         def body_nr(x, lp):
-            return _block(x, lp, cfg, None, True), None
+            return _block(x, lp, cfg, None, True, mesh), None
         x, _ = jax.lax.scan(_wrap(body_nr), x, params["layers"])
     else:
         x, _ = jax.lax.scan(_wrap(body), x, (params["layers"], layer_rngs))

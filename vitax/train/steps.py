@@ -54,7 +54,8 @@ def topk_accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
-                    donate: bool = True, device_prep: bool = False):
+                    donate: bool = True, device_prep: bool = False,
+                    mesh=None):
     """Build the jitted train step: (state, images, labels) → (state, metrics).
 
     images are NHWC in the compute dtype; labels int32. Buffers are donated so
@@ -75,7 +76,8 @@ def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
                                 dtype=cfg.dtype)
 
         def loss_fn(params):
-            logits = vit.apply(params, images, cfg, train=True, rng=rng)
+            logits = vit.apply(params, images, cfg, train=True, rng=rng,
+                               mesh=mesh)
             return cross_entropy(logits, labels), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(

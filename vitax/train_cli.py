@@ -44,17 +44,14 @@ def _put(state, m):
 
 def train_epoch(epoch, state, train_step, loader, m, writer, tracker,
                 print_freq=100):
+    from vitax.data.device_feed import device_feed
     tracker.reset()
     loader.set_epoch(epoch)
     t0 = time.time()
-    for i, batch in enumerate(loader):
-        if batch.weight.sum() < len(batch.weight):
+    feed = device_feed(loader, pmesh.batch_sharding(m))
+    for i, (images, labels, weight) in enumerate(feed):
+        if weight.sum() < len(weight):
             continue  # partial final train batch: skip like drop_last
-        arr = batch.images if batch.images.dtype == np.uint8 else \
-            np.asarray(batch.images, np.float32)
-        images = jax.device_put(jnp.asarray(arr), pmesh.batch_sharding(m))
-        labels = jax.device_put(jnp.asarray(batch.labels),
-                                pmesh.batch_sharding(m))
         state, metrics = train_step(state, images, labels)
         if i % print_freq == print_freq - 1:
             # device sync (int/float readbacks) only at print frequency —
@@ -65,7 +62,7 @@ def train_epoch(epoch, state, train_step, loader, m, writer, tracker,
             for k, v in mh.items():
                 tracker.update(k, v)
                 writer.add_scalar(k, v)
-            rate = (i + 1) * len(batch.weight) / (time.time() - t0)
+            rate = (i + 1) * len(weight) / (time.time() - t0)
             print(f"epoch {epoch} step {step}: "
                   + " ".join(f"{k}={v:.4f}" for k, v in mh.items())
                   + f" ({rate:.0f} img/s)", flush=True)
@@ -200,7 +197,8 @@ def main(argv=None):
     with m:
         state = _put(state, m)
         train_step = make_train_step(cfg, tx, donate=True,
-                                     device_prep=config.device_prep)
+                                     device_prep=config.device_prep,
+                                     mesh=m)
         eval_step = make_weighted_eval_step(cfg,
                                             device_prep=config.device_prep)
         for epoch in range(start_epoch, epochs):
@@ -210,11 +208,15 @@ def main(argv=None):
                              valid_tracker)
             is_best = vr["acc1"] > best_acc
             best_acc = max(best_acc, vr["acc1"])
+            # async: the epoch's eval already synced the step stream; the
+            # disk write overlaps the next epoch (best-copies force a wait)
             store.save_model(state, epoch, is_best=is_best,
-                             metrics={"best_acc": best_acc, **vr})
+                             metrics={"best_acc": best_acc, **vr},
+                             async_save=True)
             if is_best and config.export_pth:
                 export_pth(jax.device_get(state.params),
                            f"{config.checkpoint_dir}/best.pth")
+        store.wait_until_finished()
         print_memory_usage(state.params, state.opt_state)
     writer.close()
     print(f"done; best acc1 = {best_acc:.4f}")
