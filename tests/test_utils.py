@@ -115,3 +115,35 @@ def test_checkpoint_step_retention(tmp_path):
     assert store.list_steps() == [3, 4]
     restored = store.restore("step_00000004", {"w": jnp.zeros((2,))})
     np.testing.assert_array_equal(np.asarray(restored["w"]), [1.0, 1.0])
+
+
+def test_async_save_and_restore_roundtrip(tmp_path):
+    """save_async snapshots state synchronously and commits in the
+    background; restore/save force completion first (VERDICT r1 #10)."""
+    import jax.numpy as jnp
+    from vitax.checkpointing import CheckpointStore
+
+    for use_orbax in (False, True):
+        d = tmp_path / ("orbax" if use_orbax else "npz")
+        store = CheckpointStore(str(d), use_orbax=use_orbax)
+        state = {"w": jnp.arange(4.0), "n": jnp.asarray(3)}
+        store.save_async("current", state, {"epoch": 1})
+        # a restore immediately after must see the full checkpoint
+        got = store.restore("current", {"w": jnp.zeros(4), "n": jnp.asarray(0)})
+        np.testing.assert_array_equal(np.asarray(got["w"]), [0, 1, 2, 3])
+        store.wait_until_finished()
+        assert store.metadata("current") == {"epoch": 1}
+
+
+def test_save_model_async_best_copy(tmp_path):
+    import jax.numpy as jnp
+    from vitax.checkpointing import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path), use_orbax=False)
+    state = {"w": jnp.ones(2)}
+    store.save_model(state, epoch=0, is_best=True,
+                     metrics={"acc1": 0.5}, async_save=True)
+    store.wait_until_finished()
+    assert store.exists("current") and store.exists("best")
+    got = store.restore("best", {"w": jnp.zeros(2)})
+    np.testing.assert_array_equal(np.asarray(got["w"]), [1, 1])

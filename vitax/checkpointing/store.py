@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -87,6 +88,8 @@ class CheckpointStore:
             use_orbax = _orbax_available()
         self.use_orbax = use_orbax
         self.keep = keep
+        self._async_thread: Optional[threading.Thread] = None
+        self._async_ckptr = None  # orbax AsyncCheckpointer, created lazily
 
     # -- core --------------------------------------------------------------
 
@@ -94,6 +97,7 @@ class CheckpointStore:
         return os.path.join(self.directory, name)
 
     def save(self, name: str, state: Any, metadata: Optional[dict] = None) -> str:
+        self.wait_until_finished()
         path = self._path(name)
         state = jax.device_get(state)
         if self.use_orbax:
@@ -110,9 +114,59 @@ class CheckpointStore:
             json.dump(metadata or {}, f, indent=2, default=str)
         return path
 
+    def save_async(self, name: str, state: Any,
+                   metadata: Optional[dict] = None) -> str:
+        """Non-blocking save: snapshots `state` to host immediately (so the
+        train loop may donate/overwrite device buffers right after), then
+        writes in the background. Call `wait_until_finished()` before
+        reading the checkpoint back or exiting. Only one async save is in
+        flight at a time — a second call waits for the first."""
+        self.wait_until_finished()
+        path = self._path(name)
+        state = jax.device_get(state)  # synchronous snapshot
+        if self.use_orbax:
+            import orbax.checkpoint as ocp
+            if self._async_ckptr is None:
+                self._async_ckptr = ocp.AsyncCheckpointer(
+                    ocp.StandardCheckpointHandler())
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            self._async_ckptr.save(path, args=ocp.args.StandardSave(state))
+        else:
+            def work():
+                os.makedirs(path, exist_ok=True)
+                np.savez(os.path.join(path, "state.npz"), **_flatten(state))
+            self._async_thread = threading.Thread(target=work, daemon=True)
+            self._async_thread.start()
+        meta_dir = path if not self.use_orbax else self.directory
+        # orbax owns `path` until finalization; park metadata next to it
+        os.makedirs(meta_dir, exist_ok=True)
+        with open(os.path.join(meta_dir, f".{name}.meta.json")
+                  if self.use_orbax else
+                  os.path.join(path, "vitax_meta.json"), "w") as f:
+            json.dump(metadata or {}, f, indent=2, default=str)
+        return path
+
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save has committed to disk."""
+        if self._async_thread is not None:
+            self._async_thread.join()
+            self._async_thread = None
+        if self._async_ckptr is not None:
+            self._async_ckptr.wait_until_finished()
+            # move parked metadata into the finalized directories
+            for fn in list(os.listdir(self.directory)):
+                if fn.startswith(".") and fn.endswith(".meta.json"):
+                    name = fn[1:-len(".meta.json")]
+                    dst = self._path(name)
+                    if os.path.isdir(dst):
+                        os.replace(os.path.join(self.directory, fn),
+                                   os.path.join(dst, "vitax_meta.json"))
+
     def restore(self, name: str, target: Any) -> Any:
         """Restore into the structure of `target` (an abstract or concrete
         state pytree)."""
+        self.wait_until_finished()
         path = self._path(name)
         npz = os.path.join(path, "state.npz")
         if os.path.exists(npz):
@@ -125,6 +179,7 @@ class CheckpointStore:
     def restore_params(self, name: str) -> Any:
         """Structure-free restore of the `params` subtree only — for eval
         CLIs that have no optimizer state to reconstruct."""
+        self.wait_until_finished()
         path = self._path(name)
         npz = os.path.join(path, "state.npz")
         if os.path.exists(npz):
@@ -167,12 +222,19 @@ class CheckpointStore:
     # -- reference-style current/best ---------------------------------------
 
     def save_model(self, state: Any, epoch: int, is_best: bool = False,
-                   metrics: Optional[dict] = None) -> None:
+                   metrics: Optional[dict] = None,
+                   async_save: bool = False) -> None:
         """src/train.py:69-81 semantics: always overwrite `current`, copy to
-        `best` when val acc improved."""
+        `best` when val acc improved. With `async_save` the write happens in
+        the background (the state is snapshotted to host first, so training
+        can continue immediately); a best-copy forces completion."""
         meta = {"epoch": epoch, **(metrics or {})}
-        self.save("current", state, meta)
+        if async_save:
+            self.save_async("current", state, meta)
+        else:
+            self.save("current", state, meta)
         if is_best:
+            self.wait_until_finished()
             cur, best = self._path("current"), self._path("best")
             if os.path.exists(best):
                 shutil.rmtree(best)

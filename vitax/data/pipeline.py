@@ -111,6 +111,15 @@ class DataLoader:
         self.use_native = (use_native and isinstance(items, np.ndarray))
         self.epoch = 0
         self._n = len(self.labels)
+        # decode pool for path-backed datasets (ImageNet-style): PIL decode
+        # releases the GIL during I/O and JPEG work, so threads give real
+        # parallelism; in-memory datasets skip it (slicing is cheap)
+        self._pool = None
+        if (not self.use_native and self.num_workers > 1
+                and len(items) and isinstance(items[0], str)):
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers,
+                                            thread_name_prefix="vitax-decode")
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -134,6 +143,12 @@ class DataLoader:
         img = _decode(item) if isinstance(item, str) else item
         return _resize_uint8(img, self.image_size)
 
+    def _load_many(self, idxs: np.ndarray) -> List[np.ndarray]:
+        if self._pool is not None:
+            return list(self._pool.map(self._load_image,
+                                       [int(i) for i in idxs]))
+        return [self._load_image(int(i)) for i in idxs]
+
     def _make_batch(self, idxs: np.ndarray, flip_bits: np.ndarray) -> Batch:
         bs = self.batch_size
         h, w = self.image_size
@@ -141,9 +156,9 @@ class DataLoader:
             images = np.zeros((bs, h, w, 3), np.uint8)
             labels = np.zeros((bs,), np.int32)
             weight = np.zeros((bs,), np.float32)
-            for j, idx in enumerate(idxs):
-                images[j] = self._load_image(int(idx))
-                labels[j] = self.labels[idx]
+            for j, img in enumerate(self._load_many(idxs)):
+                images[j] = img
+                labels[j] = self.labels[idxs[j]]
                 weight[j] = 1.0
             for j in range(len(idxs), bs):
                 images[j] = images[0]
@@ -162,12 +177,11 @@ class DataLoader:
         images = np.empty((bs, h, w, 3), np.float32)
         labels = np.zeros((bs,), np.int32)
         weight = np.zeros((bs,), np.float32)
-        for j, idx in enumerate(idxs):
-            img = self._load_image(int(idx))
+        for j, img in enumerate(self._load_many(idxs)):
             if flip_bits[j]:
                 img = img[:, ::-1]
             images[j] = normalize(img)
-            labels[j] = self.labels[idx]
+            labels[j] = self.labels[idxs[j]]
             weight[j] = 1.0
         # padding rows replicate row 0 (weight 0) so shapes stay static
         for j in range(len(idxs), bs):

@@ -274,7 +274,9 @@ def main(argv=None):
         is_best = vr.get("acc1", 0.0) > best_acc
         best_acc = max(best_acc, vr.get("acc1", 0.0))
         store.save_model(state, epoch, is_best=is_best,
-                         metrics={"best_acc": best_acc, **vr})
+                         metrics={"best_acc": best_acc, **vr},
+                         async_save=True)
+    store.wait_until_finished()
     writer.close()
     print(f"done; best acc1 = {best_acc:.4f}")
     return best_acc
