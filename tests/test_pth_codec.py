@@ -144,3 +144,68 @@ def test_legacy_rejects_garbage(tmp_path):
     p.write_bytes(b"\x80\x02K\x01.")  # a pickle, but not the torch magic
     with pytest.raises(ValueError, match="not a torch .pth"):
         load_pth(str(p))
+
+
+def test_emitter_randomized_nesting_roundtrip(tmp_path):
+    """Property-style: random nested containers of arrays/scalars must
+    round-trip through save_pth -> torch.load AND save_pth -> load_pth."""
+    rng = np.random.RandomState(42)
+    dtypes = [np.float32, np.float64, np.float16, np.int64, np.int32,
+              np.int16, np.int8, np.uint8, np.bool_]
+
+    def rand_leaf(depth):
+        r = rng.rand()
+        if r < 0.45:
+            dt = dtypes[rng.randint(len(dtypes))]
+            shape = tuple(rng.randint(1, 5)
+                          for _ in range(rng.randint(0, 4)))
+            if dt == np.bool_:
+                return np.asarray(rng.rand(*shape) > 0.5)
+            if np.issubdtype(dt, np.floating):
+                return np.asarray(rng.randn(*shape)).astype(dt)
+            return np.asarray(rng.randint(0, 100, shape)).astype(dt)
+        if r < 0.55:
+            return float(rng.randn())
+        if r < 0.65:
+            return int(rng.randint(-10**12, 10**12))
+        if r < 0.72:
+            return bool(rng.rand() > 0.5)
+        if r < 0.78:
+            return None
+        if r < 0.86:
+            return "s" * rng.randint(0, 300)  # exercises both str opcodes
+        if depth >= 3:
+            return float(rng.randn())
+        kind = rng.randint(3)
+        n = rng.randint(0, 4)
+        if kind == 0:
+            return {f"k{i}": rand_leaf(depth + 1) for i in range(n)}
+        if kind == 1:
+            return [rand_leaf(depth + 1) for _ in range(n)]
+        return tuple(rand_leaf(depth + 1) for _ in range(n))
+
+    def assert_same(a, b, path="root"):
+        if isinstance(a, dict):
+            assert set(a) == set(b), path
+            for k in a:
+                assert_same(a[k], b[k], f"{path}.{k}")
+        elif isinstance(a, (list, tuple)):
+            # torch.load round-trips tuples as tuples, lists as lists
+            assert len(a) == len(b), path
+            for i, (x, y) in enumerate(zip(a, b)):
+                assert_same(x, y, f"{path}[{i}]")
+        elif isinstance(a, np.ndarray):
+            got = b.numpy() if hasattr(b, "numpy") else np.asarray(b)
+            assert a.dtype == got.dtype or a.dtype.kind == got.dtype.kind, path
+            np.testing.assert_array_equal(np.asarray(got, a.dtype), a, path)
+        else:
+            assert a == b or (a is None and b is None), f"{path}: {a!r}!={b!r}"
+
+    for trial in range(10):
+        obj = {f"top{i}": rand_leaf(0) for i in range(rng.randint(1, 4))}
+        p = tmp_path / f"t{trial}.pth"
+        save_pth(obj, str(p))
+        via_torch = torch.load(str(p), weights_only=False)
+        assert_same(obj, via_torch, f"trial{trial}/torch")
+        via_ours = load_pth(str(p))
+        assert_same(obj, via_ours, f"trial{trial}/ours")
