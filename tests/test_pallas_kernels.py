@@ -214,3 +214,38 @@ def test_fused_mlp_model_path_matches_standard():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_ln_mlp_save_acts_matches_recompute():
+    """save_acts=True (persisted h1/GELU', pure-matmul bwd) must produce the
+    same forward and gradients as the recompute variant."""
+    args = _mlp_args(jax.random.PRNGKey(10), b=2, s=100, d=128, m=384)
+    out_a = pk.fused_ln_mlp(*args, 1e-5)
+    out_b = pk.fused_ln_mlp(*args, 1e-5, save_acts=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               rtol=2e-6, atol=2e-6)
+
+    def loss(save):
+        def f(*a):
+            return jnp.sum(jnp.sin(pk.fused_ln_mlp(*a, 1e-5,
+                                                   save_acts=save)))
+        return f
+
+    ga = jax.grad(loss(False), argnums=tuple(range(7)))(*args)
+    gb = jax.grad(loss(True), argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(_mlp_ref(*a))),
+                  argnums=tuple(range(7)))(*args)
+    for name, a, b_, r in zip("x g be w1 b1 w2 b2".split(), ga, gb, gr):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_ln_mlp_save_acts_no_residual():
+    args = _mlp_args(jax.random.PRNGKey(11), b=1, s=64, d=128, m=256)
+    x = args[0]
+    full = pk.fused_ln_mlp(*args, 1e-5, save_acts=True)
+    part = pk.fused_ln_mlp(*args, 1e-5, residual=False, save_acts=True)
+    np.testing.assert_allclose(np.asarray(x + part), np.asarray(full),
+                               rtol=2e-6, atol=2e-6)

@@ -47,6 +47,10 @@ class ViTConfig:
     # fused LN2+fc1+GELU+fc2+residual Pallas kernel (dW1/dW2 accumulated in
     # VMEM; see ops/pallas_kernels.fused_ln_mlp)
     fused_mlp: bool = False
+    # persist h1/GELU' in the fwd kernel => pure-matmul bwd (8NDM, no
+    # transcendentals). Pair with remat=None — under selective remat the
+    # saved activations would be recomputed, running the fwd kernel twice.
+    fused_mlp_save: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

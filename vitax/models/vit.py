@@ -259,7 +259,8 @@ def _fused_block_mlp(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
         x, lp["ln2"]["scale"].astype(jnp.float32),
         lp["ln2"]["bias"].astype(jnp.float32),
         w1, lp["mlp"]["fc1"]["bias"].astype(jnp.float32),
-        w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), LN_EPS)
+        w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), LN_EPS,
+        save_acts=cfg.fused_mlp_save)
 
 
 def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,

@@ -505,6 +505,108 @@ def _ln_mlp_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             o_ref[sl, :] = y.astype(x_ref.dtype)
 
 
+def _ln_mlp_fwd_save_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                            b2_ref, o_ref, h1_ref, gp_ref, *, eps, chunks,
+                            residual):
+    """Forward that ALSO persists h1 = GELU(a1) and g' = GELU'(a1) (both in
+    x.dtype) so the backward is pure matmuls — no fc1 recompute, no erf/exp.
+    Costs one extra exp per element here (the pdf term of g', where the MXU
+    has slack) + 2 x [N,M] of HBM traffic, and removes 2NDM FLOPs + all
+    transcendentals from the backward."""
+    rows = x_ref.shape[0] // chunks
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    b1f = b1_ref[:].astype(jnp.float32)
+    b2f = b2_ref[:].astype(jnp.float32)
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+
+    xns = []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xhat = xc * jax.lax.rsqrt(var + eps)
+        xns.append((xhat * g32 + be32).astype(x_ref.dtype))
+    a1s = [jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1f
+           for xn in xns]
+    h1s = []
+    for sl, a1 in zip(sls, a1s):
+        h1 = _gelu_exact(a1).astype(x_ref.dtype)
+        h1_ref[sl, :] = h1
+        gp_ref[sl, :] = _gelu_grad(a1).astype(x_ref.dtype)
+        h1s.append(h1)
+    for sl, h1 in zip(sls, h1s):
+        y = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2f
+        if residual:
+            o_ref[sl, :] = x_ref[sl, :] + y.astype(x_ref.dtype)
+        else:
+            o_ref[sl, :] = y.astype(x_ref.dtype)
+
+
+def _ln_mlp_bwd_fast_kernel(x_ref, g_ref, be_ref, w1_ref, w2_ref, h1_ref,
+                            gp_ref, do_ref, dx_ref, dg_ref, dbe_ref, dw1_ref,
+                            db1_ref, dw2_ref, db2_ref, *, eps, residual):
+    """Backward from SAVED h1/g': 4 matmuls (8NDM), zero transcendentals.
+    Only the LN statistics are recomputed (VPU, no matmul)."""
+    i = pl.program_id(0)
+    x32 = x_ref[:].astype(jnp.float32)
+    g32 = g_ref[:].astype(jnp.float32)
+    do = do_ref[:]
+    h1 = h1_ref[:]
+    gp = gp_ref[:]
+
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    xn = (xhat * g32 + be_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+
+    dw2_part = jax.lax.dot_general(h1, do, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    db2_part = jnp.sum(do.astype(jnp.float32), axis=0)
+
+    dh1f = jax.lax.dot_general(do, w2_ref[:], _AB_T,
+                               preferred_element_type=jnp.float32)
+    dh1 = (dh1f * gp.astype(jnp.float32)).astype(x_ref.dtype)
+    dw1_part = jax.lax.dot_general(xn, dh1, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    db1_part = jnp.sum(dh1.astype(jnp.float32), axis=0)
+
+    dxn = jax.lax.dot_general(dh1, w1_ref[:], _AB_T,
+                              preferred_element_type=jnp.float32)
+    dyg = dxn * g32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dxln = rstd * (dyg - m1 - xhat * m2)
+    if residual:
+        dx_ref[:] = do + dxln.astype(dx_ref.dtype)
+    else:
+        dx_ref[:] = dxln.astype(dx_ref.dtype)
+
+    dg_part = jnp.sum(dxn * xhat, axis=0)
+    dbe_part = jnp.sum(dxn, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw1_ref[:] = dw1_part
+        db1_ref[:] = db1_part
+        dw2_ref[:] = dw2_part
+        db2_ref[:] = db2_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw1_ref[:] = dw1_ref[:] + dw1_part
+        db1_ref[:] = db1_ref[:] + db1_part
+        dw2_ref[:] = dw2_ref[:] + dw2_part
+        db2_ref[:] = db2_ref[:] + db2_part
+
+
 def _ln_mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
                        dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref,
                        db2_ref, *, eps, residual):
@@ -677,11 +779,111 @@ def _ln_mlp_2d_bwd(eps, residual, res, do2):
 _ln_mlp_2d.defvjp(_ln_mlp_2d_fwd, _ln_mlp_2d_bwd)
 
 
-def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True):
+# -- save-acts variant: persist h1/g' in the fwd, pure-matmul bwd ------------
+
+def _ln_mlp_fwd_save_call(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    n, d = x2.shape
+    m = w1.shape[1]
+    rows, chunks = _ln_mlp_fwd_geometry(n)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    mid_blk = pl.BlockSpec((rows, m), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_fwd_save_kernel, eps=eps, chunks=chunks,
+                          residual=residual),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d),
+                  pl.BlockSpec((d, m), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(m),
+                  pl.BlockSpec((m, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d)],
+        out_specs=(row_blk, mid_blk, mid_blk),
+        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((n, m), x2.dtype),
+                   jax.ShapeDtypeStruct((n, m), x2.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * m, transcendentals=2 * n * m,
+            bytes_accessed=2 * n * d * x2.dtype.itemsize
+            + 2 * n * m * x2.dtype.itemsize + 4 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1, b1, w2, b2)
+
+
+def _ln_mlp_bwd_fast_call(x2, gamma, beta, w1, w2, h1, gp, do2, eps,
+                          residual):
+    n, d = x2.shape
+    m = w1.shape[1]
+    rows = _ln_mlp_rows(n)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    mid_blk = pl.BlockSpec((rows, m), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_fast_kernel, eps=eps,
+                          residual=residual),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d), mat(d, m), mat(m, d),
+                  mid_blk, mid_blk, row_blk],
+        out_specs=(row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
+                   vec(d)),
+        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d, m), jnp.float32),
+                   jax.ShapeDtypeStruct((m,), jnp.float32),
+                   jax.ShapeDtypeStruct((m, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * d * m, transcendentals=0,
+            bytes_accessed=(3 * n * d + 2 * n * m) * x2.dtype.itemsize
+            + 16 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1, w2, h1, gp, do2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ln_mlp_2d_save(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    out, _, _ = _ln_mlp_fwd_save_call(x2, gamma, beta, w1, b1, w2, b2, eps,
+                                      residual)
+    return out
+
+
+def _ln_mlp_2d_save_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    out, h1, gp = _ln_mlp_fwd_save_call(x2, gamma, beta, w1, b1, w2, b2,
+                                        eps, residual)
+    return out, (x2, gamma, beta, w1, b1, w2, h1, gp)
+
+
+def _ln_mlp_2d_save_bwd(eps, residual, res, do2):
+    x2, gamma, beta, w1, b1, w2, h1, gp = res
+    dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_fast_call(
+        x2, gamma, beta, w1, w2, h1, gp, do2, eps, residual)
+    return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2)
+
+
+_ln_mlp_2d_save.defvjp(_ln_mlp_2d_save_fwd, _ln_mlp_2d_save_bwd)
+
+
+def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
+                 save_acts=False):
     """out = x + fc2(GELU_exact(fc1(LN(x)))) for x [B,S,D] (or any leading
     shape); LN statistics and all grad accumulation fp32. Returns x.dtype.
     residual=False returns just fc2(GELU(fc1(LN(x)))) + b2 — for TP
-    shard_map callers that psum per-shard partials and add x once."""
+    shard_map callers that psum per-shard partials and add x once.
+    save_acts=True persists h1 and GELU'(a1) (x.dtype) in the forward so
+    the backward is pure matmuls (8NDM, zero transcendentals) instead of
+    recompute (10NDM + erf + exp) — trades 2x[N,M] HBM traffic for FLOPs."""
     lead = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
@@ -689,7 +891,8 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True):
     npad = _ln_mlp_pad(n)
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
-    out = _ln_mlp_2d(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
+    fn = _ln_mlp_2d_save if save_acts else _ln_mlp_2d
+    out = fn(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
     if npad != n:
         out = out[:n]
     return out.reshape(*lead, d)
