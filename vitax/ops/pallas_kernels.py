@@ -609,50 +609,69 @@ def _ln_mlp_bwd_fast_kernel(x_ref, g_ref, be_ref, w1_ref, w2_ref, h1_ref,
 
 def _ln_mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
                        dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref,
-                       db2_ref, *, eps, residual):
+                       db2_ref, *, eps, residual, chunks):
+    """STAGED like the forward: the per-chunk chains are independent until
+    the final dW accumulation, so Mosaic can overlap chunk i's GELU/LN VPU
+    work with chunk i+1's matmuls instead of serializing the whole
+    recompute->grads chain per row block."""
     i = pl.program_id(0)
-    x32 = x_ref[:].astype(jnp.float32)
+    rows = x_ref.shape[0] // chunks
     g32 = g_ref[:].astype(jnp.float32)
-    do = do_ref[:]
+    be32 = be_ref[:].astype(jnp.float32)
+    b1f = b1_ref[:].astype(jnp.float32)
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
 
-    # recompute the forward in VMEM (nothing was persisted)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    xc = x32 - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = xc * rstd
-    xn = (xhat * g32 + be_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
-    a1 = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) \
-        + b1_ref[:].astype(jnp.float32)
-    h1 = _gelu_exact(a1).astype(x_ref.dtype)
-
-    # fc2 grads
-    dw2_part = jax.lax.dot_general(h1, do, _AT_B,
-                                   preferred_element_type=jnp.float32)
-    db2_part = jnp.sum(do.astype(jnp.float32), axis=0)
-
-    # through GELU to fc1
-    dh1f = jax.lax.dot_general(do, w2_ref[:], _AB_T,
-                               preferred_element_type=jnp.float32)
-    dh1 = (dh1f * _gelu_grad(a1)).astype(x_ref.dtype)
-    dw1_part = jax.lax.dot_general(xn, dh1, _AT_B,
-                                   preferred_element_type=jnp.float32)
-    db1_part = jnp.sum(dh1.astype(jnp.float32), axis=0)
-
-    # through LN to the block input; residual adds do
-    dxn = jax.lax.dot_general(dh1, w1_ref[:], _AB_T,
-                              preferred_element_type=jnp.float32)
-    dyg = dxn * g32
-    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
-    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
-    dxln = rstd * (dyg - m1 - xhat * m2)
-    if residual:
-        dx_ref[:] = do + dxln.astype(dx_ref.dtype)
-    else:
-        dx_ref[:] = dxln.astype(dx_ref.dtype)
-
-    dg_part = jnp.sum(dxn * xhat, axis=0)
-    dbe_part = jnp.sum(dxn, axis=0)
+    # stage 1: LN recompute (VPU)
+    xns, xhats, rstds = [], [], []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = xc * rstd
+        xns.append((xhat * g32 + be32).astype(x_ref.dtype))
+        xhats.append(xhat)
+        rstds.append(rstd)
+    # stage 2: fc1 recompute (MXU)
+    a1s = [jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1f
+           for xn in xns]
+    # stage 3: dh1f = do @ W2^T (MXU) — independent of the GELU stage
+    dh1fs = [jax.lax.dot_general(do_ref[sl, :], w2_ref[:], _AB_T,
+                                 preferred_element_type=jnp.float32)
+             for sl in sls]
+    # stage 4: GELU value + derivative (VPU)
+    h1s = [_gelu_exact(a1).astype(x_ref.dtype) for a1 in a1s]
+    gps = [_gelu_grad(a1) for a1 in a1s]
+    # stage 5: fc2/fc1 weight grads + dxn (MXU)
+    dh1s = [(dh1f * gp).astype(x_ref.dtype)
+            for dh1f, gp in zip(dh1fs, gps)]
+    dw2_part = sum(jax.lax.dot_general(h1, do_ref[sl, :], _AT_B,
+                                       preferred_element_type=jnp.float32)
+                   for sl, h1 in zip(sls, h1s))
+    db2_part = jnp.sum(do_ref[:].astype(jnp.float32), axis=0)
+    dw1_part = sum(jax.lax.dot_general(xn, dh1, _AT_B,
+                                       preferred_element_type=jnp.float32)
+                   for xn, dh1 in zip(xns, dh1s))
+    db1_part = sum(jnp.sum(dh1.astype(jnp.float32), axis=0)
+                   for dh1 in dh1s)
+    dxns = [jax.lax.dot_general(dh1, w1_ref[:], _AB_T,
+                                preferred_element_type=jnp.float32)
+            for dh1 in dh1s]
+    # stage 6: LN backward + dx writes (VPU)
+    dg_part = jnp.zeros_like(g32)
+    dbe_part = jnp.zeros_like(g32)
+    for sl, dxn, xhat, rstd in zip(sls, dxns, xhats, rstds):
+        dyg = dxn * g32
+        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+        dxln = rstd * (dyg - m1 - xhat * m2)
+        if residual:
+            dx_ref[sl, :] = do_ref[sl, :] + dxln.astype(dx_ref.dtype)
+        else:
+            dx_ref[sl, :] = dxln.astype(dx_ref.dtype)
+        dg_part = dg_part + jnp.sum(dxn * xhat, axis=0)
+        dbe_part = dbe_part + jnp.sum(dxn, axis=0)
 
     @pl.when(i == 0)
     def _():
@@ -675,6 +694,16 @@ def _ln_mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
 
 def _ln_mlp_rows(n: int) -> int:
     return min(_MLP_BLOCK_ROWS, _round_up(n, 16))
+
+
+_MLP_BWD_CHUNKS = int(_os.environ.get("VITAX_MLP_BWD_CHUNKS", 2))
+
+
+def _bwd_chunks(rows: int) -> int:
+    c = _MLP_BWD_CHUNKS
+    while c > 1 and (rows % c or (rows // c) % 16):
+        c //= 2
+    return max(c, 1)
 
 
 def _ln_mlp_pad(n: int) -> int:
@@ -736,7 +765,8 @@ def _ln_mlp_bwd_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual):
     row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_ln_mlp_bwd_kernel, eps=eps, residual=residual),
+        functools.partial(_ln_mlp_bwd_kernel, eps=eps, residual=residual,
+                          chunks=_bwd_chunks(rows)),
         grid=(n // rows,),
         in_specs=[row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
                   row_blk],
@@ -860,6 +890,12 @@ def _ln_mlp_2d_save(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
 def _ln_mlp_2d_save_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
     out, h1, gp = _ln_mlp_fwd_save_call(x2, gamma, beta, w1, b1, w2, b2,
                                         eps, residual)
+    # named so a selective-remat policy can KEEP these (see models/vit._wrap:
+    # save_only_these_names("attn_out","mlp_h1","mlp_gp")) — then the remat
+    # backward DCEs this forward kernel instead of re-running it
+    from jax.ad_checkpoint import checkpoint_name
+    h1 = checkpoint_name(h1, "mlp_h1")
+    gp = checkpoint_name(gp, "mlp_gp")
     return out, (x2, gamma, beta, w1, b1, w2, h1, gp)
 
 
@@ -1385,15 +1421,22 @@ def _ln_qkvo_fwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, bo_ref,
 
 def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
                         dx_ref, dg_ref, dbe_ref, dw_ref, db_ref, dwo_ref,
-                        dbo_ref, *, eps, scale, seq_len, heads, head_dim):
+                        dbo_ref, *, eps, scale, seq_len, heads, head_dim,
+                        tile):
+    """TILED over `tile` images per grid step (possible since the scoped
+    VMEM limit was raised): the LN/qkv recompute, out-proj grads, dxn and
+    dW matmuls all run on [tile*spq, ...] flats — MXU ops 'tile' times
+    bigger — and the per-(image,head) attention-grad chains are STAGED so
+    softmax/VPU work overlaps the score/PV matmuls of other pairs."""
     i = pl.program_id(0)
     spq = x_ref.shape[1]
     d_model = x_ref.shape[2]
-    x = x_ref[0].astype(jnp.float32)
-    do_y = do_ref[0]
+    rows = tile * spq
+    x = x_ref[:].reshape(rows, d_model).astype(jnp.float32)
+    do_y = do_ref[:].reshape(rows, d_model)
     g32 = g_ref[:].astype(jnp.float32)
 
-    # recompute LN
+    # recompute LN (flat rows)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
@@ -1405,23 +1448,33 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
     qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(xn.dtype)
     hhd = heads * head_dim
     col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
 
-    ps, outs = [], []
-    for h in range(heads):
+    def sl(t):
+        return slice(t * spq, (t + 1) * spq)
+
+    # forward recompute, staged: all scores -> all softmaxes -> all PVs
+    ss = []
+    for t, h in ths:
         o = h * head_dim
-        q = qkv[:, o:o + head_dim]
-        k = qkv[:, hhd + o:hhd + o + head_dim]
-        v = qkv[:, 2 * hhd + o:2 * hhd + o + head_dim]
+        q = qkv[sl(t), o:o + head_dim]
+        k = qkv[sl(t), hhd + o:hhd + o + head_dim]
         s = jax.lax.dot_general(q, k, _AB_T,
                                 preferred_element_type=jnp.float32) * scale
         if seq_len < spq:
             s = jnp.where(col < seq_len, s, -1e30)
-        p = _softmax_rows(s)
-        ps.append(p)
+        ss.append(s)
+    ps = [_softmax_rows(s) for s in ss]
+    outs = []
+    for (t, h), p in zip(ths, ps):
+        o = h * head_dim
+        v = qkv[sl(t), 2 * hhd + o:2 * hhd + o + head_dim]
         outs.append(jnp.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32
                             ).astype(xn.dtype))
-    attn = jnp.concatenate(outs, axis=-1)
+    attn = jnp.concatenate(
+        [jnp.concatenate(outs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
 
     dattn = jax.lax.dot_general(do_y, wo_ref[:], _AB_T,
                                 preferred_element_type=jnp.float32
@@ -1430,33 +1483,41 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
                                    preferred_element_type=jnp.float32)
     dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
 
-    dqkv_parts = []
-    for h in range(heads):
+    # attention grads, staged across the (t,h) pairs
+    dps = []
+    for (t, h), p in zip(ths, ps):
         o = h * head_dim
-        q = qkv[:, o:o + head_dim]
-        k = qkv[:, hhd + o:hhd + o + head_dim]
-        v = qkv[:, 2 * hhd + o:2 * hhd + o + head_dim]
-        do = dattn[:, o:o + head_dim]
-        p = ps[h]
-        out_h = outs[h].astype(jnp.float32)
-        dp = jax.lax.dot_general(do, v, _AB_T,
-                                 preferred_element_type=jnp.float32)
+        v = qkv[sl(t), 2 * hhd + o:2 * hhd + o + head_dim]
+        do = dattn[sl(t), o:o + head_dim]
+        dps.append(jax.lax.dot_general(do, v, _AB_T,
+                                       preferred_element_type=jnp.float32))
+    dss = []
+    for (t, h), p, dp, out_h in zip(ths, ps, dps,
+                                    [o_.astype(jnp.float32) for o_ in outs]):
+        o = h * head_dim
+        do = dattn[sl(t), o:o + head_dim]
         dd = jnp.sum(do.astype(jnp.float32) * out_h, axis=-1, keepdims=True)
-        ds = (p * (dp - dd)).astype(xn.dtype)
-        dq = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-              * scale).astype(xn.dtype)
-        dk = (jax.lax.dot_general(ds, q, _AT_B,
-                                  preferred_element_type=jnp.float32)
-              * scale).astype(xn.dtype)
-        dv = jax.lax.dot_general(p.astype(do.dtype), do, _AT_B,
-                                 preferred_element_type=jnp.float32
-                                 ).astype(xn.dtype)
-        dqkv_parts.append((dq, dk, dv))
+        dss.append((p * (dp - dd)).astype(xn.dtype))
+    dqs, dks, dvs = [], [], []
+    for (t, h), p, ds in zip(ths, ps, dss):
+        o = h * head_dim
+        q = qkv[sl(t), o:o + head_dim]
+        k = qkv[sl(t), hhd + o:hhd + o + head_dim]
+        do = dattn[sl(t), o:o + head_dim]
+        dqs.append((jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                    * scale).astype(xn.dtype))
+        dks.append((jax.lax.dot_general(ds, q, _AT_B,
+                                        preferred_element_type=jnp.float32)
+                    * scale).astype(xn.dtype))
+        dvs.append(jax.lax.dot_general(p.astype(do.dtype), do, _AT_B,
+                                       preferred_element_type=jnp.float32
+                                       ).astype(xn.dtype))
 
     dqkv = jnp.concatenate(
-        [d for d, _, _ in dqkv_parts]
-        + [d for _, d, _ in dqkv_parts]
-        + [d for _, _, d in dqkv_parts], axis=-1)
+        [jnp.concatenate(dqs[t * heads:(t + 1) * heads]
+                         + dks[t * heads:(t + 1) * heads]
+                         + dvs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
 
     dxn = jax.lax.dot_general(dqkv, w_ref[:], _AB_T,
                               preferred_element_type=jnp.float32)
@@ -1465,7 +1526,7 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
     m1 = jnp.mean(dyg, axis=-1, keepdims=True)
     m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
     dx = rstd * (dyg - m1 - xhat * m2)
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dx_ref[:] = dx.astype(dx_ref.dtype).reshape(tile, spq, d_model)
 
     dg_part = jnp.sum(dxn * xhat, axis=0)
     dbe_part = jnp.sum(dxn, axis=0)
@@ -1534,30 +1595,42 @@ def _fused_ln_qkvo_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
     return out, (x, gamma, beta, wqkv, bqkv, wo)
 
 
+_QKVO_BWD_TILE = int(_os.environ.get("VITAX_QKVO_BWD_TILE", 2))
+
+
+def _qkvo_bwd_tile(b: int) -> int:
+    t = _QKVO_BWD_TILE
+    while t > 1 and b % t:
+        t //= 2
+    return max(t, 1)
+
+
 def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, res, do):
     x, gamma, beta, wqkv, bqkv, wo = res
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
+    tile = _qkvo_bwd_tile(b)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
     dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
         functools.partial(_ln_qkvo_bwd_kernel, eps=eps, scale=scale,
-                          seq_len=seq_len, heads=heads, head_dim=head_dim),
-        grid=(b,),
+                          seq_len=seq_len, heads=heads, head_dim=head_dim,
+                          tile=tile),
+        grid=(b // tile,),
         in_specs=[
-            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(d), vec(d),
             pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             vec(3 * hhd),
             pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(d), vec(d),
             pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
