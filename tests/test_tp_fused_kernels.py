@@ -117,3 +117,55 @@ def test_tp_fused_hlo_has_no_weight_allgather():
             if n >= weight_elems:
                 bad.append(line.strip()[:160])
     assert not bad, "weight-sized all-gathers in HLO:\n" + "\n".join(bad)
+
+
+def test_resvit_tp_fused_matches_single_device():
+    """Res-vit (LoRA-folded) fused attention under TP shard_map must match
+    single-device training."""
+    from vitax.core.config import ResViTConfig
+    from vitax.models import resvit
+    from vitax.train.resvit_steps import (Lambdas, create_state,
+                                          make_adamw_for, make_train_step)
+
+    cfg = ResViTConfig(dim=128, mlp_dim=256, n_layers=2, n_heads=4,
+                       n_kv_heads=4, lora_rank=4, dynamic_start_layer=1,
+                       dynamic_router_hdim=32, dynamic_reserve_initials=1,
+                       low_rank_dim=8, block_size=1, use_lora=True,
+                       use_reslr=True, image_size=(32, 32),
+                       patch_size=(16, 16), num_classes=7, dropout=0.0,
+                       dtype=jnp.float32, param_dtype=jnp.float32,
+                       use_pallas=False, fused_qkv=True, fused_qkvo=True)
+    key = jax.random.PRNGKey(3)
+    images = jax.random.normal(key, (8, 32, 32, 3))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (8,), 0, 7)
+
+    def setup():
+        params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+        tx = make_adamw_for(cfg, params, lambda _: 1e-3)
+        return create_state(params, tx, jax.random.PRNGKey(1)), tx
+
+    state1, tx1 = setup()
+    step1 = make_train_step(cfg, tx1, Lambdas(), donate=False)
+    state1, m1 = step1(state1, images, labels)
+
+    m = pmesh.make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    state2, tx2 = setup()
+    with m:
+        pshard = pmesh.resvit_param_shardings(state2.params, m)
+        state2 = state2._replace(
+            params=jax.device_put(state2.params, pshard),
+            opt_state=jax.device_put(
+                state2.opt_state,
+                pmesh.opt_state_shardings(state2.opt_state, state2.params,
+                                          pshard, m)))
+        step2 = make_train_step(cfg, tx2, Lambdas(), donate=False, mesh=m)
+        state2, m2 = step2(state2,
+                           jax.device_put(images, pmesh.batch_sharding(m)),
+                           jax.device_put(labels, pmesh.batch_sharding(m)))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)

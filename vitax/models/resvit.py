@@ -215,7 +215,8 @@ def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
         .reshape(b, s, h * n_rep, hd)
 
 
-def attention(x: jnp.ndarray, p: Params, cfg: ResViTConfig) -> jnp.ndarray:
+def attention(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
+              mesh=None) -> jnp.ndarray:
     """Self-attention, fp32 softmax (res-vit/model.py:237-299). The
     asymmetric Q-subset inference variant is realized by the caller's
     where-merge — all queries are computed (same per-query results)."""
@@ -242,6 +243,24 @@ def attention(x: jnp.ndarray, p: Params, cfg: ResViTConfig) -> jnp.ndarray:
             wk_k = merged(wk_k, p["lora_k"])
             wv_k = merged(wv_k, p["lora_v"])
         wqkv = jnp.concatenate([wq_k, wk_k, wv_k], axis=1).astype(dt)
+        tp = 1
+        if mesh is not None:
+            from vitax.parallel.tp_kernels import tp_size
+            tp = tp_size(mesh)
+        if tp > 1 and h % tp == 0 and pk.qkv_attention_supported(
+                x, jnp.zeros((d, 3 * d // tp), dt)):
+            # per-shard kernel via shard_map: no weight all-gather under TP
+            from vitax.parallel.tp_kernels import fused_qkvo_attention_tp
+            spq = (s + 7) // 8 * 8
+            xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
+            out = fused_qkvo_attention_tp(
+                xp, wq_k.astype(dt), wk_k.astype(dt), wv_k.astype(dt),
+                p["wq"]["bias"].astype(jnp.float32),
+                p["wk"]["bias"].astype(jnp.float32),
+                p["wv"]["bias"].astype(jnp.float32),
+                p["wo"]["kernel"].astype(dt),
+                p["wo"]["bias"].astype(jnp.float32), mesh, s, h, hd)[:, :s]
+            return out.astype(dt)
         if pk.qkv_attention_supported(x, wqkv):
             bqkv = jnp.concatenate([p["wq"]["bias"], p["wk"]["bias"],
                                     p["wv"]["bias"]]).astype(jnp.float32)
@@ -275,11 +294,13 @@ def feed_forward(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return _linear(gelu_exact(h), p["fc2"])
 
 
-def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig) -> jnp.ndarray:
+def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
+                mesh=None) -> jnp.ndarray:
     """Pre-LN block (res-vit/model.py:436-444)."""
     h = x + attention(layer_norm(x, p["attention_norm"]["scale"],
                                  p["attention_norm"]["bias"], cfg.norm_eps,
-                                 use_pallas=cfg.use_pallas), p["attention"], cfg)
+                                 use_pallas=cfg.use_pallas), p["attention"],
+                      cfg, mesh)
     if cfg.fused_mlp:
         from vitax.ops import pallas_kernels as pk
         w1 = p["feed_forward"]["fc1"]["kernel"].astype(h.dtype)
@@ -386,8 +407,8 @@ def embed(params: Params, images: jnp.ndarray, cfg: ResViTConfig) -> jnp.ndarray
 
 
 def apply(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
-          train: bool = False, rng: Optional[jax.Array] = None
-          ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+          train: bool = False, rng: Optional[jax.Array] = None,
+          mesh=None) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Forward pass: NHWC images → (student logits, aux dict).
 
     aux: d_loss_sum, r_entropy, acts [B,N,L], soft_probs [B,N,n_heads·bs]
@@ -413,7 +434,7 @@ def apply(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     for lid, role in enumerate(roles):
         lp = params["layers"][lid]
         if not role["routed"]:
-            out = plain_block(student, lp, cfg)
+            out = plain_block(student, lp, cfg, mesh)
             # plain layers collapse teacher onto the student path — the
             # reference returns (out, out, ...) (res-vit/model.py:440-444)
             teacher = out
@@ -445,8 +466,8 @@ def apply(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
                              )[..., None]
 
         if train:
-            teacher = plain_block(teacher, lp, cfg)
-        transformer_out = plain_block(student, lp, cfg)
+            teacher = plain_block(teacher, lp, cfg, mesh)
+        transformer_out = plain_block(student, lp, cfg, mesh)
         merged = jnp.where(attn_mask, transformer_out, student)
         student_out = apply_approximators(
             merged, block_ctx["approx_params"], path_ids, lora_ids)

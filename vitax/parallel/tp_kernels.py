@@ -68,6 +68,37 @@ def fused_ln_qkvo_attention_tp(x, gamma, beta, wq, wk, wv, bq, bk, bv,
     return out + bo.astype(jnp.float32).astype(out.dtype)
 
 
+def fused_qkvo_attention_tp(x, wq, wk, wv, bq, bk, bv, wo, bo, mesh: Mesh,
+                            seq_len: int, heads: int, head_dim: int):
+    """Res-vit layout variant (weights [D,D] with heads contiguous in the
+    output dim, biases [D]): per model-shard fused QKV+attention+out-proj.
+    x is the POST-LN input [B,SPQ,D]. LoRA-merged weights pass through
+    unchanged — the merge is a replicated rank-r matmul upstream."""
+    from vitax.ops import pallas_kernels as pk
+    tp = tp_size(mesh)
+    h_local = heads // tp
+
+    def shard_fn(x, wq, wk, wv, bq, bk, bv, wo):
+        d = x.shape[-1]
+        wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+        bqkv = jnp.concatenate([bq, bk, bv]).astype(jnp.float32)
+        out = pk.fused_qkvo_attention(
+            x, wqkv, bqkv, wo, jnp.zeros((d,), jnp.float32),
+            seq_len, h_local, head_dim)
+        return jax.lax.psum(out, MODEL_AXIS)
+
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None),
+                  P(None, MODEL_AXIS), P(None, MODEL_AXIS),
+                  P(None, MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS),
+                  P(MODEL_AXIS), P(MODEL_AXIS, None)),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,  # pallas out_shape carries no vma annotation
+    )(x, wq, wk, wv, bq, bk, bv, wo)
+    return out + bo.astype(jnp.float32).astype(out.dtype)
+
+
 def fused_ln_mlp_tp(x, gamma, beta, w1, b1, w2, b2, mesh: Mesh, eps: float):
     """LN2+fc1+GELU+fc2 fused kernel, per model-shard: fc1 column-parallel
     [D,M/tp], fc2 row-parallel [M/tp,D]; per-shard partials psum'd, then the

@@ -66,7 +66,8 @@ def _metrics(cfg: ResViTConfig, logits, labels, c, a, d, aux,
 
 
 def make_train_step(cfg: ResViTConfig, tx: optax.GradientTransformation,
-                    lambdas: Lambdas = Lambdas(), donate: bool = True):
+                    lambdas: Lambdas = Lambdas(), donate: bool = True,
+                    mesh=None):
     """(state, images NHWC, labels) → (state, metrics)."""
 
     def step_fn(state: ResViTState, images, labels
@@ -75,7 +76,7 @@ def make_train_step(cfg: ResViTConfig, tx: optax.GradientTransformation,
 
         def loss_fn(params):
             logits, aux = resvit.apply(params, images, cfg, train=True,
-                                       rng=rng)
+                                       rng=rng, mesh=mesh)
             c = cross_entropy(logits, labels)
             if cfg.use_reslr and aux["soft_probs"] is not None:
                 a = resvit.active_loss(aux["soft_probs"],
