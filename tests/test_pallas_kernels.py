@@ -249,3 +249,65 @@ def test_ln_mlp_save_acts_no_residual():
     part = pk.fused_ln_mlp(*args, 1e-5, residual=False, save_acts=True)
     np.testing.assert_allclose(np.asarray(x + part), np.asarray(full),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_ln_mlp_int8_close_to_fp_and_grads_exact():
+    """W8A8 forward must approximate the fp forward within dynamic-quant
+    error; gradients use the same bf16-recompute backward kernel, so they
+    must EXACTLY match the recompute variant's."""
+    args = _mlp_args(jax.random.PRNGKey(12), b=2, s=64, d=128, m=256)
+    out_fp = pk.fused_ln_mlp(*args, 1e-5)
+    out_q = pk.fused_ln_mlp(*args, 1e-5, int8=True)
+    # int8 dynamic quant: ~1% relative on the matmul outputs
+    ref_scale = float(jnp.mean(jnp.abs(out_fp)))
+    err = float(jnp.max(jnp.abs(out_q - out_fp)))
+    assert err < 0.15 * ref_scale + 0.05, (err, ref_scale)
+
+    # LINEAR loss so the cotangent is identical for both variants — the
+    # int8 path shares the bf16-recompute backward kernel, so with equal
+    # cotangents the grads must match exactly
+    def loss(int8):
+        def f(*a):
+            return jnp.sum(pk.fused_ln_mlp(*a, 1e-5, int8=int8))
+        return f
+
+    ga = jax.grad(loss(False), argnums=(0, 3, 5))(*args)
+    gb = jax.grad(loss(True), argnums=(0, 3, 5))(*args)
+    for name, a, b_ in zip("x w1 w2".split(), ga, gb):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_ln_qkvo_int8_close_to_fp_and_grads_exact():
+    """int8 projections in the attention-half forward: output close to fp,
+    gradients exact vs the fp variant under a linear loss (shared backward
+    kernel)."""
+    import math as _m
+    b, s_, d, h, hd = 2, 64, 128, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(13), 6)
+    x = jax.random.normal(ks[0], (b, s_, d))
+    g = jnp.ones((d,), jnp.float32)
+    be = jnp.zeros((d,), jnp.float32)
+    wqkv = (jax.random.normal(ks[1], (d, 3 * d)) * d ** -0.5)
+    bqkv = jax.random.normal(ks[2], (3 * d,)) * 0.02
+    wo = (jax.random.normal(ks[3], (d, d)) * d ** -0.5)
+    bo = jax.random.normal(ks[4], (d,)) * 0.02
+
+    out_fp = pk.fused_ln_qkvo_attention(x, g, be, wqkv, bqkv, wo, bo,
+                                        1e-5, s_, h, hd)
+    out_q = pk.fused_ln_qkvo_attention(x, g, be, wqkv, bqkv, wo, bo,
+                                       1e-5, s_, h, hd, True)
+    scale = float(jnp.mean(jnp.abs(out_fp)))
+    assert float(jnp.max(jnp.abs(out_q - out_fp))) < 0.15 * scale + 0.05
+
+    def loss(int8):
+        def f(x, wqkv, wo):
+            return jnp.sum(pk.fused_ln_qkvo_attention(
+                x, g, be, wqkv, bqkv, wo, bo, 1e-5, s_, h, hd, int8))
+        return f
+
+    ga = jax.grad(loss(False), argnums=(0, 1, 2))(x, wqkv, wo)
+    gb = jax.grad(loss(True), argnums=(0, 1, 2))(x, wqkv, wo)
+    for name, a, b_ in zip("x wqkv wo".split(), ga, gb):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)

@@ -49,6 +49,11 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
     p.add_argument("--fused-qkv", action="store_true",
                    help="fused QKV+attention Pallas kernel (bench default "
                         "config; +9%% b16 train throughput measured)")
+    p.add_argument("--fused-mlp", action="store_true",
+                   help="fused LN+fc1+GELU+fc2 Pallas kernel")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 int8 forward matmuls in the fused kernels "
+                        "(bwd stays bf16; experimental, accuracy-affecting)")
     p.add_argument("--device-prep", action="store_true",
                    help="ship uint8 batches, normalize/flip on device "
                         "(4x less host->device bandwidth)")

@@ -51,6 +51,12 @@ class ViTConfig:
     # transcendentals). Pair with remat=None — under selective remat the
     # saved activations would be recomputed, running the fwd kernel twice.
     fused_mlp_save: bool = False
+    # W8A8 int8 MLP forward matmuls (v5e int8 MXU ~2x bf16); backward stays
+    # bf16 recompute. Accuracy-affecting — experimental, off by default.
+    int8_mlp: bool = False
+    # W8A8 qkv/out projections in the fused attention forward (scores,
+    # softmax, PV stay bf16/fp32); backward stays bf16 recompute.
+    int8_attn: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

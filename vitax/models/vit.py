@@ -221,7 +221,7 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
     out = pk.fused_ln_qkvo_attention(
         xp, lp["ln1"]["scale"].astype(jnp.float32),
         lp["ln1"]["bias"].astype(jnp.float32), wqkv, bqkv, wo, bo,
-        LN_EPS, s, h, hd)[:, :s]
+        LN_EPS, s, h, hd, cfg.int8_attn)[:, :s]
     return out.astype(dt)
 
 
@@ -260,7 +260,7 @@ def _fused_block_mlp(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
         lp["ln2"]["bias"].astype(jnp.float32),
         w1, lp["mlp"]["fc1"]["bias"].astype(jnp.float32),
         w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), LN_EPS,
-        save_acts=cfg.fused_mlp_save)
+        save_acts=cfg.fused_mlp_save, int8=cfg.int8_mlp)
 
 
 def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
@@ -337,10 +337,12 @@ def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
         if cfg.remat == "selective":
             # keep attention outputs, recompute LN/MLP/GELU in the backward —
             # drops the fp32 GELU activations (the largest saved tensors, e.g.
-            # f32[12,B,197,3072]) at ~half the recompute cost of full remat
+            # f32[12,B,197,3072]) at ~half the recompute cost of full remat.
+            # mlp_h1/mlp_gp only exist under fused_mlp_save: keeping them lets
+            # the remat backward DCE the MLP forward kernel entirely
             return jax.checkpoint(
                 f, policy=jax.checkpoint_policies.save_only_these_names(
-                    "attn_out"))
+                    "attn_out", "mlp_h1", "mlp_gp"))
         if cfg.remat:
             return jax.checkpoint(f)
         return f

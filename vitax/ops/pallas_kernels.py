@@ -544,6 +544,66 @@ def _ln_mlp_fwd_save_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
             o_ref[sl, :] = y.astype(x_ref.dtype)
 
 
+def _quant_rows(x32, limit=127.0):
+    """Symmetric per-row int8 quantization: returns (int8 values, fp32
+    per-row scale s) with x ≈ q * s."""
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / limit
+    q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _ln_mlp_fwd_int8_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
+                            w2q_ref, s2_ref, b2_ref, o_ref, *, eps, chunks,
+                            residual):
+    """int8 forward: both MLP matmuls run on the int8 MXU (measured 302
+    vs 170 TF/s bf16 on these shapes — scripts/roofline.py). Dynamic
+    symmetric quantization: activations per row, weights per output column
+    (pre-quantized outside). The GELU and LN stay fp32; only the matmul
+    operands drop precision (ViT quantization survey, PAPERS.md #6 —
+    W8A8 on linear layers preserves ViT accuracy within ~0.1-0.5%)."""
+    rows = x_ref.shape[0] // chunks
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    s1 = s1_ref[:]
+    s2 = s2_ref[:]
+    b1f = b1_ref[:].astype(jnp.float32)
+    b2f = b2_ref[:].astype(jnp.float32)
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+
+    xqs = []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xhat = xc * jax.lax.rsqrt(var + eps)
+        xqs.append(_quant_rows(xhat * g32 + be32))
+    a1s = [jax.lax.dot_general(xq, w1q_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32
+                               ).astype(jnp.float32) * sx * s1 + b1f
+           for xq, sx in xqs]
+    h1qs = [_quant_rows(_gelu_exact(a1)) for a1 in a1s]
+    for sl, (h1q, sh) in zip(sls, h1qs):
+        y = jax.lax.dot_general(h1q, w2q_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sh * s2 + b2f
+        if residual:
+            o_ref[sl, :] = x_ref[sl, :] + y.astype(x_ref.dtype)
+        else:
+            o_ref[sl, :] = y.astype(x_ref.dtype)
+
+
+def _quant_cols_host(w):
+    """Per-output-column symmetric int8 for a [K, N] weight (runs in XLA
+    once per step, outside the kernel)."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s[0]
+
+
 def _ln_mlp_bwd_fast_kernel(x_ref, g_ref, be_ref, w1_ref, w2_ref, h1_ref,
                             gp_ref, do_ref, dx_ref, dg_ref, dbe_ref, dw1_ref,
                             db1_ref, dw2_ref, db2_ref, *, eps, residual):
@@ -880,6 +940,64 @@ def _ln_mlp_bwd_fast_call(x2, gamma, beta, w1, w2, h1, gp, do2, eps,
     )(x2, gamma, beta, w1, w2, h1, gp, do2)
 
 
+# -- int8 forward variant: W8A8 matmuls, bf16-recompute backward -------------
+
+def _ln_mlp_fwd_int8_call(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    n, d = x2.shape
+    m = w1.shape[1]
+    w1q, s1 = _quant_cols_host(w1)
+    w2q, s2 = _quant_cols_host(w2)
+    rows, chunks = _ln_mlp_fwd_geometry(n)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_fwd_int8_kernel, eps=eps, chunks=chunks,
+                          residual=residual),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d),
+                  pl.BlockSpec((d, m), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(m), vec(m),
+                  pl.BlockSpec((m, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d), vec(d)],
+        out_specs=row_blk,
+        out_shape=jax.ShapeDtypeStruct((n, d), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * m, transcendentals=n * m,
+            bytes_accessed=2 * n * d * x2.dtype.itemsize + 2 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1q, s1, b1, w2q, s2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ln_mlp_2d_int8(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    return _ln_mlp_fwd_int8_call(x2, gamma, beta, w1, b1, w2, b2, eps,
+                                 residual)
+
+
+def _ln_mlp_2d_int8_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    out = _ln_mlp_fwd_int8_call(x2, gamma, beta, w1, b1, w2, b2, eps,
+                                residual)
+    return out, (x2, gamma, beta, w1, b1, w2)
+
+
+def _ln_mlp_2d_int8_bwd(eps, residual, res, do2):
+    # gradients of the bf16 function — standard W8A8 practice: the int8
+    # forward is a close approximation, grads recompute at full precision
+    x2, gamma, beta, w1, b1, w2 = res
+    dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_call(
+        x2, gamma, beta, w1, b1, w2, do2, eps, residual)
+    return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2)
+
+
+_ln_mlp_2d_int8.defvjp(_ln_mlp_2d_int8_fwd, _ln_mlp_2d_int8_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _ln_mlp_2d_save(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
     out, _, _ = _ln_mlp_fwd_save_call(x2, gamma, beta, w1, b1, w2, b2, eps,
@@ -912,7 +1030,7 @@ _ln_mlp_2d_save.defvjp(_ln_mlp_2d_save_fwd, _ln_mlp_2d_save_bwd)
 
 
 def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
-                 save_acts=False):
+                 save_acts=False, int8=False):
     """out = x + fc2(GELU_exact(fc1(LN(x)))) for x [B,S,D] (or any leading
     shape); LN statistics and all grad accumulation fp32. Returns x.dtype.
     residual=False returns just fc2(GELU(fc1(LN(x)))) + b2 — for TP
@@ -927,7 +1045,8 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
     npad = _ln_mlp_pad(n)
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
-    fn = _ln_mlp_2d_save if save_acts else _ln_mlp_2d
+    fn = (_ln_mlp_2d_int8 if int8
+          else _ln_mlp_2d_save if save_acts else _ln_mlp_2d)
     out = fn(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
     if npad != n:
         out = out[:n]
@@ -1419,6 +1538,59 @@ def _ln_qkvo_fwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, bo_ref,
     o_ref[:] = y.reshape(tile, spq, d)
 
 
+def _ln_qkvo_fwd_int8_kernel(x_ref, g_ref, be_ref, w8_ref, sw_ref, b_ref,
+                             wo8_ref, swo_ref, bo_ref, o_ref, *, eps, scale,
+                             seq_len, heads, head_dim, tile):
+    """int8 variant: the qkv and out projections run W8A8 on the int8 MXU
+    (per-row activation / per-column weight dynamic quantization); the
+    attention core (scores, softmax, PV) stays bf16/fp32."""
+    spq = x_ref.shape[1]
+    d = x_ref.shape[2]
+    x = x_ref[:].reshape(tile * spq, d).astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xhat = xc * jax.lax.rsqrt(var + eps)
+    xn32 = xhat * g_ref[:].astype(jnp.float32) \
+        + be_ref[:].astype(jnp.float32)
+    xq, sx = _quant_rows(xn32)
+    qkv = jax.lax.dot_general(xq, w8_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32
+                              ).astype(jnp.float32) * sx * sw_ref[:]
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+    ss = []
+    for t, h in ths:
+        sl = slice(t * spq, (t + 1) * spq)
+        o = h * head_dim
+        q = qkv[sl, o:o + head_dim]
+        k = qkv[sl, hhd + o:hhd + o + head_dim]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        ss.append(s)
+    pss = [_softmax_rows(s) for s in ss]
+    outs = []
+    for (t, h), p in zip(ths, pss):
+        sl = slice(t * spq, (t + 1) * spq)
+        o = h * head_dim
+        v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
+        outs.append(jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(
+        [jnp.concatenate(outs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
+    aq, sa = _quant_rows(attn)
+    y = jax.lax.dot_general(aq, wo8_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32) * sa * swo_ref[:]
+    y = (y + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = y.reshape(tile, spq, d)
+
+
 def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
                         dx_ref, dg_ref, dbe_ref, dw_ref, db_ref, dwo_ref,
                         dbo_ref, *, eps, scale, seq_len, heads, head_dim,
@@ -1553,18 +1725,44 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
-                            eps, seq_len, heads, head_dim):
+                            eps, seq_len, heads, head_dim, int8=False):
     """LN + QKV projection + attention core + out-projection in one kernel.
     Takes the PRE-LN block input x [B,SPQ,D] (pad rows zero-filled);
-    backward emits dx through the LN and accumulates dγ/dβ/dW/db/dWo/dbo."""
+    backward emits dx through the LN and accumulates dγ/dβ/dW/db/dWo/dbo.
+    int8=True runs both projections W8A8 (bwd stays bf16 recompute)."""
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
     tile = _qkvo_tile(b)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
+    if int8:
+        w8, sw = _quant_cols_host(wqkv)
+        wo8, swo = _quant_cols_host(wo)
+        return pl.pallas_call(
+            functools.partial(_ln_qkvo_fwd_int8_kernel, eps=eps, scale=scale,
+                              seq_len=seq_len, heads=heads,
+                              head_dim=head_dim, tile=tile),
+            grid=(b // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(d), vec(d),
+                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(3 * hhd), vec(3 * hhd),
+                pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(d), vec(d),
+            ],
+            out_specs=pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, spq, d), x.dtype),
+            interpret=_INTERPRET,
+            **_VMEM_LIMIT,
+        )(x, gamma, beta, w8, sw, bqkv, wo8, swo, bo)
     return pl.pallas_call(
         functools.partial(_ln_qkvo_fwd_kernel, eps=eps, scale=scale,
                           seq_len=seq_len, heads=heads, head_dim=head_dim,
@@ -1589,9 +1787,9 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
 
 
 def _fused_ln_qkvo_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
-                       eps, seq_len, heads, head_dim):
+                       eps, seq_len, heads, head_dim, int8=False):
     out = fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
-                                  eps, seq_len, heads, head_dim)
+                                  eps, seq_len, heads, head_dim, int8)
     return out, (x, gamma, beta, wqkv, bqkv, wo)
 
 
@@ -1605,7 +1803,7 @@ def _qkvo_bwd_tile(b: int) -> int:
     return max(t, 1)
 
 
-def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, res, do):
+def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, res, do):
     x, gamma, beta, wqkv, bqkv, wo = res
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape

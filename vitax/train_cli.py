@@ -124,6 +124,9 @@ def main(argv=None):
     cfg = arch_config(config.model_arch, image_size=config.image_size,
                       num_classes=config.num_classes, dtype=dtype,
                       remat=config.remat, fused_qkv=config.fused_qkv,
+                      fused_mlp=getattr(config, "fused_mlp", False),
+                      int8_mlp=getattr(config, "int8", False),
+                      int8_attn=getattr(config, "int8", False),
                       use_pallas=False if config.no_pallas else None)
 
     # model init / pretrained load (head re-init on class mismatch,
