@@ -311,3 +311,24 @@ def test_ln_qkvo_int8_close_to_fp_and_grads_exact():
     for name, a, b_ in zip("x wqkv wo".split(), ga, gb):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_ln_mlp_int8_grad_close_to_fp():
+    """SwitchBack backward (int8 dx-path): dx/dW within quantization error
+    of the fp grads; db2 exact (no quantized operand on its path)."""
+    args = _mlp_args(jax.random.PRNGKey(14), b=2, s=64, d=128, m=256)
+
+    def loss(int8, int8_grad):
+        def f(*a):
+            return jnp.sum(pk.fused_ln_mlp(*a, 1e-5, int8=int8,
+                                           int8_grad=int8_grad))
+        return f
+
+    ga = jax.grad(loss(True, False), argnums=tuple(range(7)))(*args)
+    gb = jax.grad(loss(True, True), argnums=tuple(range(7)))(*args)
+    for name, a, b_ in zip("x g be w1 b1 w2 b2".split(), ga, gb):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(b_ - a)))
+        assert err < 0.05 * scale, (name, err, scale)
+    np.testing.assert_allclose(np.asarray(gb[6]), np.asarray(ga[6]),
+                               rtol=1e-6)  # db2 untouched by quantization

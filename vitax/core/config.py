@@ -57,6 +57,9 @@ class ViTConfig:
     # W8A8 qkv/out projections in the fused attention forward (scores,
     # softmax, PV stay bf16/fp32); backward stays bf16 recompute.
     int8_attn: bool = False
+    # SwitchBack-style int8 dL/dx-path in the MLP backward (dW matmuls and
+    # the fc1 recompute stay bf16). Requires int8_mlp.
+    int8_mlp_grad: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

@@ -604,6 +604,103 @@ def _quant_cols_host(w):
     return q, s[0]
 
 
+def _quant_rows_host(w):
+    """Per-row symmetric int8 for a [K, N] weight contracted over N."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s[:, 0]
+
+
+def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref,
+                            w1q_ref, s1r_ref, w2q_ref, s2r_ref, do_ref,
+                            dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref,
+                            dw2_ref, db2_ref, *, eps, residual, chunks):
+    """SwitchBack-style backward: the dL/dx-path matmuls (dh1 = do W2ᵀ and
+    dxn = dh1 W1ᵀ) run W8A8 on the int8 MXU; the weight-grad matmuls
+    (dW = actᵀ grad) and the fc1 recompute stay bf16 — the standard
+    int8-backprop precision split (dW needs the precision, dx tolerates
+    quantization; ViT quantization survey, PAPERS.md #6)."""
+    i = pl.program_id(0)
+    rows = x_ref.shape[0] // chunks
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    b1f = b1_ref[:].astype(jnp.float32)
+    s1r = s1r_ref[:]
+    s2r = s2r_ref[:]
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+
+    xns, xhats, rstds = [], [], []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = xc * rstd
+        xns.append((xhat * g32 + be32).astype(x_ref.dtype))
+        xhats.append(xhat)
+        rstds.append(rstd)
+    a1s = [jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1f
+           for xn in xns]
+    # int8 dh1f = do @ W2^T: do per-row, W2 per-row (both contracted over D)
+    doqs = [_quant_rows(do_ref[sl, :].astype(jnp.float32)) for sl in sls]
+    dh1fs = [jax.lax.dot_general(doq, w2q_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32) * sdo * s2r
+             for doq, sdo in doqs]
+    h1s = [_gelu_exact(a1).astype(x_ref.dtype) for a1 in a1s]
+    gps = [_gelu_grad(a1) for a1 in a1s]
+    dh1_32s = [dh1f * gp for dh1f, gp in zip(dh1fs, gps)]
+    dh1s = [d.astype(x_ref.dtype) for d in dh1_32s]
+    dw2_part = sum(jax.lax.dot_general(h1, do_ref[sl, :], _AT_B,
+                                       preferred_element_type=jnp.float32)
+                   for sl, h1 in zip(sls, h1s))
+    db2_part = jnp.sum(do_ref[:].astype(jnp.float32), axis=0)
+    dw1_part = sum(jax.lax.dot_general(xn, dh1, _AT_B,
+                                       preferred_element_type=jnp.float32)
+                   for xn, dh1 in zip(xns, dh1s))
+    db1_part = sum(jnp.sum(d, axis=0) for d in dh1_32s)
+    # int8 dxn = dh1 @ W1^T: dh1 per-row, W1 per-row (contracted over M)
+    dh1qs = [_quant_rows(d) for d in dh1_32s]
+    dxns = [jax.lax.dot_general(dq, w1q_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sd * s1r
+            for dq, sd in dh1qs]
+    dg_part = jnp.zeros_like(g32)
+    dbe_part = jnp.zeros_like(g32)
+    for sl, dxn, xhat, rstd in zip(sls, dxns, xhats, rstds):
+        dyg = dxn * g32
+        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+        dxln = rstd * (dyg - m1 - xhat * m2)
+        if residual:
+            dx_ref[sl, :] = do_ref[sl, :] + dxln.astype(dx_ref.dtype)
+        else:
+            dx_ref[sl, :] = dxln.astype(dx_ref.dtype)
+        dg_part = dg_part + jnp.sum(dxn * xhat, axis=0)
+        dbe_part = dbe_part + jnp.sum(dxn, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw1_ref[:] = dw1_part
+        db1_ref[:] = db1_part
+        dw2_ref[:] = dw2_part
+        db2_ref[:] = db2_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw1_ref[:] = dw1_ref[:] + dw1_part
+        db1_ref[:] = db1_ref[:] + db1_part
+        dw2_ref[:] = dw2_ref[:] + dw2_part
+        db2_ref[:] = db2_ref[:] + db2_part
+
+
 def _ln_mlp_bwd_fast_kernel(x_ref, g_ref, be_ref, w1_ref, w2_ref, h1_ref,
                             gp_ref, do_ref, dx_ref, dg_ref, dbe_ref, dw1_ref,
                             db1_ref, dw2_ref, db2_ref, *, eps, residual):
@@ -998,6 +1095,64 @@ def _ln_mlp_2d_int8_bwd(eps, residual, res, do2):
 _ln_mlp_2d_int8.defvjp(_ln_mlp_2d_int8_fwd, _ln_mlp_2d_int8_bwd)
 
 
+def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual):
+    n, d = x2.shape
+    m = w1.shape[1]
+    w1q, s1r = _quant_rows_host(w1)   # contracted over M in dxn
+    w2q, s2r = _quant_rows_host(w2)   # contracted over D in dh1
+    rows = _ln_mlp_rows(n)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_int8_kernel, eps=eps,
+                          residual=residual, chunks=_bwd_chunks(rows)),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d), mat(d, m), vec(m),
+                  mat(d, m), vec(d), mat(m, d), vec(m), row_blk],
+        out_specs=(row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
+                   vec(d)),
+        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d, m), jnp.float32),
+                   jax.ShapeDtypeStruct((m,), jnp.float32),
+                   jax.ShapeDtypeStruct((m, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * d * m, transcendentals=2 * n * m,
+            bytes_accessed=3 * n * d * x2.dtype.itemsize + 12 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1, b1, w1q, s1r, w2q, s2r, do2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ln_mlp_2d_int8g(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    return _ln_mlp_fwd_int8_call(x2, gamma, beta, w1, b1, w2, b2, eps,
+                                 residual)
+
+
+def _ln_mlp_2d_int8g_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    out = _ln_mlp_fwd_int8_call(x2, gamma, beta, w1, b1, w2, b2, eps,
+                                residual)
+    return out, (x2, gamma, beta, w1, b1, w2)
+
+
+def _ln_mlp_2d_int8g_bwd(eps, residual, res, do2):
+    x2, gamma, beta, w1, b1, w2 = res
+    dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_int8_call(
+        x2, gamma, beta, w1, b1, w2, do2, eps, residual)
+    return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2)
+
+
+_ln_mlp_2d_int8g.defvjp(_ln_mlp_2d_int8g_fwd, _ln_mlp_2d_int8g_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _ln_mlp_2d_save(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
     out, _, _ = _ln_mlp_fwd_save_call(x2, gamma, beta, w1, b1, w2, b2, eps,
@@ -1030,7 +1185,7 @@ _ln_mlp_2d_save.defvjp(_ln_mlp_2d_save_fwd, _ln_mlp_2d_save_bwd)
 
 
 def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
-                 save_acts=False, int8=False):
+                 save_acts=False, int8=False, int8_grad=False):
     """out = x + fc2(GELU_exact(fc1(LN(x)))) for x [B,S,D] (or any leading
     shape); LN statistics and all grad accumulation fp32. Returns x.dtype.
     residual=False returns just fc2(GELU(fc1(LN(x)))) + b2 — for TP
@@ -1045,7 +1200,8 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
     npad = _ln_mlp_pad(n)
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
-    fn = (_ln_mlp_2d_int8 if int8
+    fn = (_ln_mlp_2d_int8g if int8 and int8_grad
+          else _ln_mlp_2d_int8 if int8
           else _ln_mlp_2d_save if save_acts else _ln_mlp_2d)
     out = fn(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
     if npad != n:
