@@ -332,3 +332,31 @@ def test_ln_mlp_int8_grad_close_to_fp():
         assert err < 0.05 * scale, (name, err, scale)
     np.testing.assert_allclose(np.asarray(gb[6]), np.asarray(ga[6]),
                                rtol=1e-6)  # db2 untouched by quantization
+
+
+def test_ln_qkvo_int8_grad_close_to_fp():
+    """int8 attention backward (recompute + dx-path W8A8): grads within a
+    quantization band of the fp grads."""
+    b, s_, d, h, hd = 2, 64, 128, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(15), 6)
+    x = jax.random.normal(ks[0], (b, s_, d))
+    g = jnp.ones((d,), jnp.float32)
+    be = jnp.zeros((d,), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (d, 3 * d)) * d ** -0.5
+    bqkv = jax.random.normal(ks[2], (3 * d,)) * 0.02
+    wo = jax.random.normal(ks[3], (d, d)) * d ** -0.5
+    bo = jax.random.normal(ks[4], (d,)) * 0.02
+
+    def loss(int8_grad):
+        def f(x, wqkv, wo):
+            return jnp.sum(pk.fused_ln_qkvo_attention(
+                x, g, be, wqkv, bqkv, wo, bo, 1e-5, s_, h, hd, True,
+                int8_grad))
+        return f
+
+    ga = jax.grad(loss(False), argnums=(0, 1, 2))(x, wqkv, wo)
+    gb = jax.grad(loss(True), argnums=(0, 1, 2))(x, wqkv, wo)
+    for name, a, b_ in zip("x wqkv wo".split(), ga, gb):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(b_ - a)))
+        assert err < 0.06 * scale, (name, err, scale)

@@ -60,6 +60,9 @@ class ViTConfig:
     # SwitchBack-style int8 dL/dx-path in the MLP backward (dW matmuls and
     # the fc1 recompute stay bf16). Requires int8_mlp.
     int8_mlp_grad: bool = False
+    # same split for the attention backward: qkv recompute + dattn/dxn
+    # projections W8A8, dW/dWo and the attention-core grads bf16.
+    int8_attn_grad: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

@@ -221,7 +221,7 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
     out = pk.fused_ln_qkvo_attention(
         xp, lp["ln1"]["scale"].astype(jnp.float32),
         lp["ln1"]["bias"].astype(jnp.float32), wqkv, bqkv, wo, bo,
-        LN_EPS, s, h, hd, cfg.int8_attn)[:, :s]
+        LN_EPS, s, h, hd, cfg.int8_attn, cfg.int8_attn_grad)[:, :s]
     return out.astype(dt)
 
 

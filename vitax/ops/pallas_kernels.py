@@ -1747,6 +1747,76 @@ def _ln_qkvo_fwd_int8_kernel(x_ref, g_ref, be_ref, w8_ref, sw_ref, b_ref,
     o_ref[:] = y.reshape(tile, spq, d)
 
 
+def _attn_core_recompute(qkv, ths, spq, hhd, head_dim, scale, seq_len, col,
+                         tile, heads, dtype):
+    """Staged scores -> softmaxes -> PVs for (tile x heads) pairs; returns
+    (probs list, per-pair outs list, attn [tile*spq, hhd])."""
+    def sl(t):
+        return slice(t * spq, (t + 1) * spq)
+    ss = []
+    for t, h in ths:
+        o = h * head_dim
+        q = qkv[sl(t), o:o + head_dim]
+        k = qkv[sl(t), hhd + o:hhd + o + head_dim]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        ss.append(s)
+    ps = [_softmax_rows(s) for s in ss]
+    outs = []
+    for (t, h), p in zip(ths, ps):
+        o = h * head_dim
+        v = qkv[sl(t), 2 * hhd + o:2 * hhd + o + head_dim]
+        outs.append(jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32
+                            ).astype(dtype))
+    attn = jnp.concatenate(
+        [jnp.concatenate(outs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
+    return ps, outs, attn
+
+
+def _attn_core_grads(qkv, ps, outs, dattn, ths, spq, hhd, head_dim, scale,
+                     tile, heads, dtype):
+    """Staged attention-core gradients; returns dqkv [tile*spq, 3*hhd]."""
+    def sl(t):
+        return slice(t * spq, (t + 1) * spq)
+    dps = []
+    for (t, h), p in zip(ths, ps):
+        o = h * head_dim
+        v = qkv[sl(t), 2 * hhd + o:2 * hhd + o + head_dim]
+        do = dattn[sl(t), o:o + head_dim]
+        dps.append(jax.lax.dot_general(do, v, _AB_T,
+                                       preferred_element_type=jnp.float32))
+    dss = []
+    for (t, h), p, dp, out_h in zip(ths, ps, dps,
+                                    [o_.astype(jnp.float32) for o_ in outs]):
+        o = h * head_dim
+        do = dattn[sl(t), o:o + head_dim]
+        dd = jnp.sum(do.astype(jnp.float32) * out_h, axis=-1, keepdims=True)
+        dss.append((p * (dp - dd)).astype(dtype))
+    dqs, dks, dvs = [], [], []
+    for (t, h), p, ds in zip(ths, ps, dss):
+        o = h * head_dim
+        q = qkv[sl(t), o:o + head_dim]
+        k = qkv[sl(t), hhd + o:hhd + o + head_dim]
+        do = dattn[sl(t), o:o + head_dim]
+        dqs.append((jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                    * scale).astype(dtype))
+        dks.append((jax.lax.dot_general(ds, q, _AT_B,
+                                        preferred_element_type=jnp.float32)
+                    * scale).astype(dtype))
+        dvs.append(jax.lax.dot_general(p.astype(do.dtype), do, _AT_B,
+                                       preferred_element_type=jnp.float32
+                                       ).astype(dtype))
+    return jnp.concatenate(
+        [jnp.concatenate(dqs[t * heads:(t + 1) * heads]
+                         + dks[t * heads:(t + 1) * heads]
+                         + dvs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
+
+
 def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
                         dx_ref, dg_ref, dbe_ref, dw_ref, db_ref, dwo_ref,
                         dbo_ref, *, eps, scale, seq_len, heads, head_dim,
@@ -1778,31 +1848,9 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
     ths = [(t, h) for t in range(tile) for h in range(heads)]
 
-    def sl(t):
-        return slice(t * spq, (t + 1) * spq)
-
-    # forward recompute, staged: all scores -> all softmaxes -> all PVs
-    ss = []
-    for t, h in ths:
-        o = h * head_dim
-        q = qkv[sl(t), o:o + head_dim]
-        k = qkv[sl(t), hhd + o:hhd + o + head_dim]
-        s = jax.lax.dot_general(q, k, _AB_T,
-                                preferred_element_type=jnp.float32) * scale
-        if seq_len < spq:
-            s = jnp.where(col < seq_len, s, -1e30)
-        ss.append(s)
-    ps = [_softmax_rows(s) for s in ss]
-    outs = []
-    for (t, h), p in zip(ths, ps):
-        o = h * head_dim
-        v = qkv[sl(t), 2 * hhd + o:2 * hhd + o + head_dim]
-        outs.append(jnp.dot(p.astype(v.dtype), v,
-                            preferred_element_type=jnp.float32
-                            ).astype(xn.dtype))
-    attn = jnp.concatenate(
-        [jnp.concatenate(outs[t * heads:(t + 1) * heads], axis=-1)
-         for t in range(tile)], axis=0)
+    ps, outs, attn = _attn_core_recompute(qkv, ths, spq, hhd, head_dim,
+                                          scale, seq_len, col, tile, heads,
+                                          xn.dtype)
 
     dattn = jax.lax.dot_general(do_y, wo_ref[:], _AB_T,
                                 preferred_element_type=jnp.float32
@@ -1811,41 +1859,8 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
                                    preferred_element_type=jnp.float32)
     dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
 
-    # attention grads, staged across the (t,h) pairs
-    dps = []
-    for (t, h), p in zip(ths, ps):
-        o = h * head_dim
-        v = qkv[sl(t), 2 * hhd + o:2 * hhd + o + head_dim]
-        do = dattn[sl(t), o:o + head_dim]
-        dps.append(jax.lax.dot_general(do, v, _AB_T,
-                                       preferred_element_type=jnp.float32))
-    dss = []
-    for (t, h), p, dp, out_h in zip(ths, ps, dps,
-                                    [o_.astype(jnp.float32) for o_ in outs]):
-        o = h * head_dim
-        do = dattn[sl(t), o:o + head_dim]
-        dd = jnp.sum(do.astype(jnp.float32) * out_h, axis=-1, keepdims=True)
-        dss.append((p * (dp - dd)).astype(xn.dtype))
-    dqs, dks, dvs = [], [], []
-    for (t, h), p, ds in zip(ths, ps, dss):
-        o = h * head_dim
-        q = qkv[sl(t), o:o + head_dim]
-        k = qkv[sl(t), hhd + o:hhd + o + head_dim]
-        do = dattn[sl(t), o:o + head_dim]
-        dqs.append((jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                    * scale).astype(xn.dtype))
-        dks.append((jax.lax.dot_general(ds, q, _AT_B,
-                                        preferred_element_type=jnp.float32)
-                    * scale).astype(xn.dtype))
-        dvs.append(jax.lax.dot_general(p.astype(do.dtype), do, _AT_B,
-                                       preferred_element_type=jnp.float32
-                                       ).astype(xn.dtype))
-
-    dqkv = jnp.concatenate(
-        [jnp.concatenate(dqs[t * heads:(t + 1) * heads]
-                         + dks[t * heads:(t + 1) * heads]
-                         + dvs[t * heads:(t + 1) * heads], axis=-1)
-         for t in range(tile)], axis=0)
+    dqkv = _attn_core_grads(qkv, ps, outs, dattn, ths, spq, hhd, head_dim,
+                            scale, tile, heads, xn.dtype)
 
     dxn = jax.lax.dot_general(dqkv, w_ref[:], _AB_T,
                               preferred_element_type=jnp.float32)
@@ -1881,9 +1896,97 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, w_ref, b_ref,
+                             w8_ref, sw_ref, w8r_ref, swr_ref,
+                             wo8r_ref, swor_ref, do_ref,
+                             dx_ref, dg_ref, dbe_ref, dw_ref, db_ref,
+                             dwo_ref, dbo_ref, *, eps, scale, seq_len,
+                             heads, head_dim, tile):
+    """int8 variant of the tiled backward: the qkv RECOMPUTE and both
+    dL/dx-path projections (dattn = do Woᵀ, dxn = dqkv Wᵀ) run W8A8;
+    dW/dWo matmuls and the attention-core grads stay bf16 (SwitchBack
+    precision split). Needs the bf16 wo only through its row-quantized
+    form, so the dense wo ref is dropped; the dense w ref stays for dW."""
+    i = pl.program_id(0)
+    spq = x_ref.shape[1]
+    d_model = x_ref.shape[2]
+    rows = tile * spq
+    x = x_ref[:].reshape(rows, d_model).astype(jnp.float32)
+    do_y = do_ref[:].reshape(rows, d_model)
+    g32 = g_ref[:].astype(jnp.float32)
+
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    xn32 = xhat * g32 + be_ref[:].astype(jnp.float32)
+    xn = xn32.astype(x_ref.dtype)
+
+    xq, sx = _quant_rows(xn32)
+    qkv = jax.lax.dot_general(xq, w8_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32
+                              ).astype(jnp.float32) * sx * sw_ref[:]
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+
+    ps, outs, attn = _attn_core_recompute(qkv, ths, spq, hhd, head_dim,
+                                          scale, seq_len, col, tile, heads,
+                                          xn.dtype)
+
+    doq, sdo = _quant_rows(do_y.astype(jnp.float32))
+    dattn32 = jax.lax.dot_general(doq, wo8r_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32
+                                  ).astype(jnp.float32) * sdo * swor_ref[:]
+    dattn = dattn32.astype(xn.dtype)
+    dwo_part = jax.lax.dot_general(attn, do_y, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
+
+    dqkv = _attn_core_grads(qkv, ps, outs, dattn, ths, spq, hhd, head_dim,
+                            scale, tile, heads, xn.dtype)
+
+    dqq, sdq = _quant_rows(dqkv.astype(jnp.float32))
+    dxn = jax.lax.dot_general(dqq, w8r_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32
+                              ).astype(jnp.float32) * sdq * swr_ref[:]
+    dyg = dxn * g32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dyg - m1 - xhat * m2)
+    dx_ref[:] = dx.astype(dx_ref.dtype).reshape(tile, spq, d_model)
+
+    dg_part = jnp.sum(dxn * xhat, axis=0)
+    dbe_part = jnp.sum(dxn, axis=0)
+    dw_part = jax.lax.dot_general(xn, dqkv, _AT_B,
+                                  preferred_element_type=jnp.float32)
+    db_part = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw_ref[:] = dw_part
+        db_ref[:] = db_part
+        dwo_ref[:] = dwo_part
+        dbo_ref[:] = dbo_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw_ref[:] = dw_ref[:] + dw_part
+        db_ref[:] = db_ref[:] + db_part
+        dwo_ref[:] = dwo_ref[:] + dwo_part
+        dbo_ref[:] = dbo_ref[:] + dbo_part
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
-                            eps, seq_len, heads, head_dim, int8=False):
+                            eps, seq_len, heads, head_dim, int8=False,
+                            int8_grad=False):
     """LN + QKV projection + attention core + out-projection in one kernel.
     Takes the PRE-LN block input x [B,SPQ,D] (pad rows zero-filled);
     backward emits dx through the LN and accumulates dγ/dβ/dW/db/dWo/dbo.
@@ -1943,9 +2046,11 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
 
 
 def _fused_ln_qkvo_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
-                       eps, seq_len, heads, head_dim, int8=False):
+                       eps, seq_len, heads, head_dim, int8=False,
+                       int8_grad=False):
     out = fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
-                                  eps, seq_len, heads, head_dim, int8)
+                                  eps, seq_len, heads, head_dim, int8,
+                                  int8_grad)
     return out, (x, gamma, beta, wqkv, bqkv, wo)
 
 
@@ -1959,7 +2064,8 @@ def _qkvo_bwd_tile(b: int) -> int:
     return max(t, 1)
 
 
-def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, res, do):
+def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
+                       res, do):
     x, gamma, beta, wqkv, bqkv, wo = res
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
@@ -1967,6 +2073,58 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, res, do):
     tile = _qkvo_bwd_tile(b)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
+    if int8 and int8_grad:
+        w8, sw = _quant_cols_host(wqkv)       # qkv recompute (over D)
+        w8r, swr = _quant_rows_host(wqkv)     # dxn (over 3hhd)
+        wo8r, swor = _quant_rows_host(wo)     # dattn (over D)
+        dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
+            functools.partial(_ln_qkvo_bwd_int8_kernel, eps=eps, scale=scale,
+                              seq_len=seq_len, heads=heads,
+                              head_dim=head_dim, tile=tile),
+            grid=(b // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(d), vec(d),
+                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(3 * hhd),
+                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(3 * hhd),
+                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(d),
+                pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(hhd),
+                pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(d), vec(d),
+                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(3 * hhd),
+                pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(d),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((b, spq, d), x.dtype),
+                       jax.ShapeDtypeStruct((d,), jnp.float32),
+                       jax.ShapeDtypeStruct((d,), jnp.float32),
+                       jax.ShapeDtypeStruct((d, 3 * hhd), jnp.float32),
+                       jax.ShapeDtypeStruct((3 * hhd,), jnp.float32),
+                       jax.ShapeDtypeStruct((hhd, d), jnp.float32),
+                       jax.ShapeDtypeStruct((d,), jnp.float32)),
+            interpret=_INTERPRET,
+            **_VMEM_LIMIT,
+        )(x, gamma, beta, wqkv, bqkv, w8, sw, w8r, swr, wo8r, swor, do)
+        return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+                dw.astype(wqkv.dtype), db.astype(bqkv.dtype),
+                dwo.astype(wo.dtype), dbo)
     dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
         functools.partial(_ln_qkvo_bwd_kernel, eps=eps, scale=scale,
                           seq_len=seq_len, heads=heads, head_dim=head_dim,
