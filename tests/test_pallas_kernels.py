@@ -360,3 +360,22 @@ def test_ln_qkvo_int8_grad_close_to_fp():
         scale = float(jnp.max(jnp.abs(a))) + 1e-6
         err = float(jnp.max(jnp.abs(b_ - a)))
         assert err < 0.06 * scale, (name, err, scale)
+
+
+def test_ln_mlp_int8_dw_close_to_fp():
+    """Per-block int8 dW (deepest tier): dW within a quantization band of
+    the fp weight grads."""
+    args = _mlp_args(jax.random.PRNGKey(16), b=2, s=64, d=128, m=256)
+
+    def loss(int8_dw):
+        def f(*a):
+            return jnp.sum(pk.fused_ln_mlp(*a, 1e-5, int8=True,
+                                           int8_grad=True, int8_dw=int8_dw))
+        return f
+
+    ga = jax.grad(loss(False), argnums=(3, 5))(*args)
+    gb = jax.grad(loss(True), argnums=(3, 5))(*args)
+    for name, a, b_ in zip("w1 w2".split(), ga, gb):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(b_ - a)))
+        assert err < 0.06 * scale, (name, err, scale)

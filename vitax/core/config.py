@@ -63,6 +63,9 @@ class ViTConfig:
     # same split for the attention backward: qkv recompute + dattn/dxn
     # projections W8A8, dW/dWo and the attention-core grads bf16.
     int8_attn_grad: bool = False
+    # Jetfire-style per-block int8 dW matmuls in the MLP backward (deepest
+    # quantization tier). Requires int8_mlp_grad.
+    int8_dw: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

@@ -613,10 +613,19 @@ def _quant_rows_host(w):
     return q, s[:, 0]
 
 
+def _quant_cols(x32, limit=127.0):
+    """Symmetric per-column int8 (over the row/contraction axis)."""
+    amax = jnp.max(jnp.abs(x32), axis=0, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / limit
+    q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
 def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref,
                             w1q_ref, s1r_ref, w2q_ref, s2r_ref, do_ref,
                             dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref,
-                            dw2_ref, db2_ref, *, eps, residual, chunks):
+                            dw2_ref, db2_ref, *, eps, residual, chunks,
+                            int8_dw=False):
     """SwitchBack-style backward: the dL/dx-path matmuls (dh1 = do W2ᵀ and
     dxn = dh1 W1ᵀ) run W8A8 on the int8 MXU; the weight-grad matmuls
     (dW = actᵀ grad) and the fc1 recompute stay bf16 — the standard
@@ -654,13 +663,33 @@ def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref,
     gps = [_gelu_grad(a1) for a1 in a1s]
     dh1_32s = [dh1f * gp for dh1f, gp in zip(dh1fs, gps)]
     dh1s = [d.astype(x_ref.dtype) for d in dh1_32s]
-    dw2_part = sum(jax.lax.dot_general(h1, do_ref[sl, :], _AT_B,
-                                       preferred_element_type=jnp.float32)
-                   for sl, h1 in zip(sls, h1s))
+    if int8_dw:
+        # Jetfire-style per-block int8 dW: per-COLUMN scales over the
+        # block's row (contraction) axis, int32 accumulation per block,
+        # fp32 accumulation across blocks
+        dw2_part = jnp.zeros((dw2_ref.shape[0], dw2_ref.shape[1]),
+                             jnp.float32)
+        dw1_part = jnp.zeros((dw1_ref.shape[0], dw1_ref.shape[1]),
+                             jnp.float32)
+        for sl, h1, xn, dh1 in zip(sls, h1s, xns, dh1_32s):
+            h1q, sh = _quant_cols(h1.astype(jnp.float32))
+            doq2, sdo2 = _quant_cols(do_ref[sl, :].astype(jnp.float32))
+            dw2_part = dw2_part + jax.lax.dot_general(
+                h1q, doq2, _AT_B, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * sh[0][:, None] * sdo2[0][None, :]
+            xnq, sxn = _quant_cols(xn.astype(jnp.float32))
+            dh1q2, sdh2 = _quant_cols(dh1)
+            dw1_part = dw1_part + jax.lax.dot_general(
+                xnq, dh1q2, _AT_B, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * sxn[0][:, None] * sdh2[0][None, :]
+    else:
+        dw2_part = sum(jax.lax.dot_general(h1, do_ref[sl, :], _AT_B,
+                                           preferred_element_type=jnp.float32)
+                       for sl, h1 in zip(sls, h1s))
+        dw1_part = sum(jax.lax.dot_general(xn, dh1, _AT_B,
+                                           preferred_element_type=jnp.float32)
+                       for xn, dh1 in zip(xns, dh1s))
     db2_part = jnp.sum(do_ref[:].astype(jnp.float32), axis=0)
-    dw1_part = sum(jax.lax.dot_general(xn, dh1, _AT_B,
-                                       preferred_element_type=jnp.float32)
-                   for xn, dh1 in zip(xns, dh1s))
     db1_part = sum(jnp.sum(d, axis=0) for d in dh1_32s)
     # int8 dxn = dh1 @ W1^T: dh1 per-row, W1 per-row (contracted over M)
     dh1qs = [_quant_rows(d) for d in dh1_32s]
@@ -1095,7 +1124,8 @@ def _ln_mlp_2d_int8_bwd(eps, residual, res, do2):
 _ln_mlp_2d_int8.defvjp(_ln_mlp_2d_int8_fwd, _ln_mlp_2d_int8_bwd)
 
 
-def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual):
+def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
+                          int8_dw=False):
     n, d = x2.shape
     m = w1.shape[1]
     w1q, s1r = _quant_rows_host(w1)   # contracted over M in dxn
@@ -1108,7 +1138,8 @@ def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual):
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_ln_mlp_bwd_int8_kernel, eps=eps,
-                          residual=residual, chunks=_bwd_chunks(rows)),
+                          residual=residual, chunks=_bwd_chunks(rows),
+                          int8_dw=int8_dw),
         grid=(n // rows,),
         in_specs=[row_blk, vec(d), vec(d), mat(d, m), vec(m),
                   mat(d, m), vec(d), mat(m, d), vec(m), row_blk],
@@ -1129,22 +1160,24 @@ def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual):
     )(x2, gamma, beta, w1, b1, w1q, s1r, w2q, s2r, do2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _ln_mlp_2d_int8g(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _ln_mlp_2d_int8g(x2, gamma, beta, w1, b1, w2, b2, eps, residual,
+                     int8_dw=False):
     return _ln_mlp_fwd_int8_call(x2, gamma, beta, w1, b1, w2, b2, eps,
                                  residual)
 
 
-def _ln_mlp_2d_int8g_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+def _ln_mlp_2d_int8g_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual,
+                         int8_dw=False):
     out = _ln_mlp_fwd_int8_call(x2, gamma, beta, w1, b1, w2, b2, eps,
                                 residual)
     return out, (x2, gamma, beta, w1, b1, w2)
 
 
-def _ln_mlp_2d_int8g_bwd(eps, residual, res, do2):
+def _ln_mlp_2d_int8g_bwd(eps, residual, int8_dw, res, do2):
     x2, gamma, beta, w1, b1, w2 = res
     dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_int8_call(
-        x2, gamma, beta, w1, b1, w2, do2, eps, residual)
+        x2, gamma, beta, w1, b1, w2, do2, eps, residual, int8_dw)
     return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2)
@@ -1185,7 +1218,8 @@ _ln_mlp_2d_save.defvjp(_ln_mlp_2d_save_fwd, _ln_mlp_2d_save_bwd)
 
 
 def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
-                 save_acts=False, int8=False, int8_grad=False):
+                 save_acts=False, int8=False, int8_grad=False,
+                 int8_dw=False):
     """out = x + fc2(GELU_exact(fc1(LN(x)))) for x [B,S,D] (or any leading
     shape); LN statistics and all grad accumulation fp32. Returns x.dtype.
     residual=False returns just fc2(GELU(fc1(LN(x)))) + b2 — for TP
@@ -1200,10 +1234,13 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
     npad = _ln_mlp_pad(n)
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
-    fn = (_ln_mlp_2d_int8g if int8 and int8_grad
-          else _ln_mlp_2d_int8 if int8
-          else _ln_mlp_2d_save if save_acts else _ln_mlp_2d)
-    out = fn(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
+    if int8 and int8_grad:
+        out = _ln_mlp_2d_int8g(x2, gamma, beta, w1, b1, w2, b2, eps,
+                               residual, int8_dw)
+    else:
+        fn = (_ln_mlp_2d_int8 if int8
+              else _ln_mlp_2d_save if save_acts else _ln_mlp_2d)
+        out = fn(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
     if npad != n:
         out = out[:n]
     return out.reshape(*lead, d)
@@ -1550,11 +1587,16 @@ def _qkvo_attn_bwd_kernel(x_ref, w_ref, b_ref, wo_ref, do_ref,
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
 
+_QKVO_FWD_TILE = int(_os.environ.get("VITAX_QKVO_FWD_TILE", 2))
+
+
 def _qkvo_tile(b: int) -> int:
-    """Forward tile: 2 images per grid step (bigger projection matmuls,
-    measured -13% kernel time). The backward stays at tile=1 — its doubled
-    working set fails to compile (VMEM)."""
-    return 2 if b % 2 == 0 else 1
+    """Forward tile: images per grid step (bigger projection matmuls,
+    measured -13% kernel time at 2 vs 1)."""
+    t = _QKVO_FWD_TILE
+    while t > 1 and b % t:
+        t //= 2
+    return max(t, 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
