@@ -125,11 +125,16 @@ class ResViTConfig:
     # (W_eff = W + A@B — LoRA a/b carry no bias) so the kernel serves the
     # default --use_lora recipe too
     fused_qkv: bool = False
-    # also subsume the out-projection in the kernel (round-1's opaque
-    # compile failures were the 16MB scoped-VMEM default, since raised)
+    # also subsume the out-projection AND the pre-attention LayerNorm in
+    # the kernel (round-1's opaque compile failures were the 16MB
+    # scoped-VMEM default, since raised)
     fused_qkvo: bool = False
     # fused LN+fc1+GELU+fc2+residual kernel for the feed-forward half
     fused_mlp: bool = False
+    # W8A8 int8 projections in the fused attention kernel (forward / both
+    # dL/dx-path backward projections). Experimental, off by default.
+    int8_attn: bool = False
+    int8_attn_grad: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

@@ -33,6 +33,9 @@ def main(argv=None):
     cfg = arch_config(config.model_arch, image_size=config.image_size,
                       num_classes=config.num_classes, dtype=dtype,
                       fused_qkv=getattr(config, "fused_qkv", False),
+                      fused_mlp=getattr(config, "fused_mlp", False),
+                      int8_mlp=getattr(config, "int8", False),
+                      int8_attn=getattr(config, "int8", False),
                       use_pallas=False if config.no_pallas else None)
 
     params = vit.init_params(jax.random.PRNGKey(config.seed), cfg)

@@ -294,13 +294,58 @@ def feed_forward(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return _linear(gelu_exact(h), p["fc2"])
 
 
+def _fused_attention_half(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
+                          mesh=None):
+    """LN + qkv(+LoRA fold) + attention + out-proj in ONE kernel for the
+    pre-LN input x; returns the half-block output WITHOUT residual, or
+    None when gated off. int8 tiers apply when enabled."""
+    if not (cfg.fused_qkv and cfg.fused_qkvo):
+        return None
+    hkv = cfg.n_kv_heads or cfg.n_heads
+    if hkv != cfg.n_heads or (mesh is not None):
+        return None  # TP path handles its own sharding in attention()
+    from vitax.ops import pallas_kernels as pk
+    ap = p["attention"]
+    b, s, d = x.shape
+    dt = x.dtype
+    wq_k, wk_k, wv_k = (ap["wq"]["kernel"], ap["wk"]["kernel"],
+                        ap["wv"]["kernel"])
+    if cfg.use_lora and "lora_q" in ap:
+        def merged(wbase, lora):
+            ab = jnp.dot(lora["a"]["kernel"].astype(jnp.float32),
+                         lora["b"]["kernel"].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            return wbase + ab.astype(wbase.dtype)
+        wq_k = merged(wq_k, ap["lora_q"])
+        wk_k = merged(wk_k, ap["lora_k"])
+        wv_k = merged(wv_k, ap["lora_v"])
+    wqkv = jnp.concatenate([wq_k, wk_k, wv_k], axis=1).astype(dt)
+    if not pk.qkv_attention_supported(x, wqkv):
+        return None
+    bqkv = jnp.concatenate([ap["wq"]["bias"], ap["wk"]["bias"],
+                            ap["wv"]["bias"]]).astype(jnp.float32)
+    spq = (s + 7) // 8 * 8
+    xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
+    out = pk.fused_ln_qkvo_attention(
+        xp, p["attention_norm"]["scale"].astype(jnp.float32),
+        p["attention_norm"]["bias"].astype(jnp.float32), wqkv, bqkv,
+        ap["wo"]["kernel"].astype(dt), ap["wo"]["bias"].astype(jnp.float32),
+        cfg.norm_eps, s, cfg.n_heads, cfg.head_dim,
+        cfg.int8_attn, cfg.int8_attn_grad)[:, :s]
+    return out.astype(dt)
+
+
 def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
                 mesh=None) -> jnp.ndarray:
     """Pre-LN block (res-vit/model.py:436-444)."""
-    h = x + attention(layer_norm(x, p["attention_norm"]["scale"],
-                                 p["attention_norm"]["bias"], cfg.norm_eps,
-                                 use_pallas=cfg.use_pallas), p["attention"],
-                      cfg, mesh)
+    h_att = _fused_attention_half(x, p, cfg, mesh)
+    if h_att is None:
+        h_att = attention(layer_norm(x, p["attention_norm"]["scale"],
+                                     p["attention_norm"]["bias"],
+                                     cfg.norm_eps,
+                                     use_pallas=cfg.use_pallas),
+                          p["attention"], cfg, mesh)
+    h = x + h_att
     if cfg.fused_mlp:
         from vitax.ops import pallas_kernels as pk
         w1 = p["feed_forward"]["fc1"]["kernel"].astype(h.dtype)
