@@ -178,3 +178,55 @@ def test_eval_parity_full_b16_recipe(ref):
     scale = max(1.0, float(np.abs(ref_logits).max()))
     assert np.max(np.abs(logits - ref_logits)) / scale < 1e-3
     np.testing.assert_array_equal(logits.argmax(-1), ref_logits.argmax(-1))
+
+
+def test_scan_form_matches_unrolled_loop():
+    """The lax.scan apply (one compiled block body) must reproduce the
+    unrolled loop exactly — forward, aux, and gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vitax.core.config import ResViTConfig
+    from vitax.models import resvit
+
+    cfg = ResViTConfig(dim=48, mlp_dim=96, n_layers=5, n_heads=4,
+                       n_kv_heads=4, lora_rank=4, dynamic_start_layer=1,
+                       dynamic_router_hdim=32, dynamic_reserve_initials=1,
+                       low_rank_dim=8, block_size=2, use_lora=True,
+                       use_reslr=True, image_size=(32, 32),
+                       patch_size=(16, 16), num_classes=7, dropout=0.0,
+                       dtype=jnp.float32, param_dtype=jnp.float32,
+                       use_pallas=False)
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(2)
+
+    l0, a0 = resvit.apply(params, x, cfg, train=True, rng=rng,
+                          scan_layers=False)
+    l1, a1 = resvit.apply(params, x, cfg, train=True, rng=rng,
+                          scan_layers=True)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1["acts"]), np.asarray(a0["acts"]))
+    np.testing.assert_allclose(np.asarray(a1["soft_probs"]),
+                               np.asarray(a0["soft_probs"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(a1["d_loss"]), float(a0["d_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(a1["r_entropy"]), float(a0["r_entropy"]),
+                               rtol=1e-5)
+    assert set(a1["routing_maps"]) == set(a0["routing_maps"])
+    for k in a0["routing_maps"]:
+        np.testing.assert_allclose(np.asarray(a1["routing_maps"][k]),
+                                   np.asarray(a0["routing_maps"][k]))
+
+    def loss(p, scan):
+        logits, aux = resvit.apply(p, x, cfg, train=True, rng=rng,
+                                   scan_layers=scan)
+        return jnp.sum(logits ** 2) + aux["d_loss"]
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)

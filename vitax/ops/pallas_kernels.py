@@ -1267,8 +1267,20 @@ def qkv_attention_supported(xhat, wqkv) -> bool:
     if wqkv.shape[0] != d or wqkv.shape[1] % 3 != 0:
         return False
     hhd = wqkv.shape[1] // 3
-    # VMEM budget: W (bf16) + fp32 dW accumulator + per-image activations
-    return s <= 1024 and d <= 1024 and hhd <= 1024 and d % 128 == 0
+    # d=1280 (h14) still trips the remote compile helper — measured this
+    # round; l16 (d=1024) compiles and runs (+45% with int8, PERF.md)
+    if s > 1024 or d > 1024 or hhd > 1024 or d % 128:
+        return False
+    # VMEM estimate per grid step: wqkv bf16 + fp32 dW/dWo accumulators +
+    # the staged per-(tile,head) fp32 probs (head_dim assumed >= 64)
+    spq = (s + 7) // 8 * 8
+    heads = max(hhd // 64, 1)
+    tile = 2
+    weights = 2 * d * 3 * hhd + 2 * hhd * d
+    accum = 4 * d * 3 * hhd + 4 * hhd * d
+    probs = tile * heads * spq * spq * 4
+    qkv_act = tile * spq * 3 * hhd * 6  # bf16 qkv + fp32 pre-cast
+    return weights + accum + probs + qkv_act <= 80 * 1024 * 1024
 
 
 def _qkv_attn_fwd_kernel(x_ref, w_ref, b_ref, o_ref, *,
