@@ -626,7 +626,8 @@ def _quant_cols(x32, limit=127.0):
 
 
 def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref,
-                            w1q_ref, s1r_ref, w2q_ref, s2r_ref, do_ref,
+                            w1q_ref, s1r_ref, w2q_ref, s2r_ref,
+                            w1c_ref, s1c_ref, do_ref,
                             dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref,
                             dw2_ref, db2_ref, *, eps, residual, chunks,
                             int8_dw=False):
@@ -655,8 +656,13 @@ def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref,
         xns.append((xhat * g32 + be32).astype(x_ref.dtype))
         xhats.append(xhat)
         rstds.append(rstd)
-    a1s = [jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1f
-           for xn in xns]
+    # int8 fc1 recompute (Jetfire-style): a1 feeds gelu_grad and h1 only;
+    # dW1 keeps the bf16 xn
+    xqs = [_quant_rows(xn.astype(jnp.float32)) for xn in xns]
+    a1s = [jax.lax.dot_general(xq, w1c_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32
+                               ).astype(jnp.float32) * sxq * s1c_ref[:] + b1f
+           for xq, sxq in xqs]
     # int8 dh1f = do @ W2^T: do per-row, W2 per-row (both contracted over D)
     doqs = [_quant_rows(do_ref[sl, :].astype(jnp.float32)) for sl in sls]
     dh1fs = [jax.lax.dot_general(doq, w2q_ref[:], (((1,), (1,)), ((), ())),
@@ -1134,6 +1140,7 @@ def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
     m = w1.shape[1]
     w1q, s1r = _quant_rows_host(w1)   # contracted over M in dxn
     w2q, s2r = _quant_rows_host(w2)   # contracted over D in dh1
+    w1c, s1c = _quant_cols_host(w1)   # fc1 recompute (over D)
     rows = _ln_mlp_rows(n)
     vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -1146,7 +1153,8 @@ def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
                           int8_dw=int8_dw),
         grid=(n // rows,),
         in_specs=[row_blk, vec(d), vec(d), mat(d, m), vec(m),
-                  mat(d, m), vec(d), mat(m, d), vec(m), row_blk],
+                  mat(d, m), vec(d), mat(m, d), vec(m),
+                  mat(d, m), vec(m), row_blk],
         out_specs=(row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
                    vec(d)),
         out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
@@ -1161,7 +1169,7 @@ def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
             bytes_accessed=3 * n * d * x2.dtype.itemsize + 12 * d * m),
         interpret=_INTERPRET,
         **_VMEM_LIMIT,
-    )(x2, gamma, beta, w1, b1, w1q, s1r, w2q, s2r, do2)
+    )(x2, gamma, beta, w1, b1, w1q, s1r, w2q, s2r, w1c, s1c, do2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
