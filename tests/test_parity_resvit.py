@@ -230,3 +230,88 @@ def test_scan_form_matches_unrolled_loop():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_remat_matches_no_remat():
+    """remat='selective'/True change memory strategy only — forward, aux
+    and gradients must be bit-identical in math to no-remat (same policy
+    contract as tests/test_vit_forward.py::test_remat_matches)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vitax.core.config import ResViTConfig
+    from vitax.models import resvit
+
+    base = ResViTConfig(dim=48, mlp_dim=96, n_layers=5, n_heads=4,
+                        n_kv_heads=4, lora_rank=4, dynamic_start_layer=1,
+                        dynamic_router_hdim=32, dynamic_reserve_initials=1,
+                        low_rank_dim=8, block_size=2, use_lora=True,
+                        use_reslr=True, image_size=(32, 32),
+                        patch_size=(16, 16), num_classes=7, dropout=0.0,
+                        dtype=jnp.float32, param_dtype=jnp.float32,
+                        use_pallas=False)
+    params = resvit.init_params(jax.random.PRNGKey(0), base)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(2)
+
+    def loss(p, cfg):
+        logits, aux = resvit.apply(p, x, cfg, train=True, rng=rng)
+        return jnp.sum(logits ** 2) + aux["d_loss"]
+
+    l0 = resvit.apply(params, x, base, train=True, rng=rng)[0]
+    g0 = jax.grad(lambda p: loss(p, base))(params)
+    for remat in ("selective", True):
+        cfg = base.replace(remat=remat)
+        l1 = resvit.apply(params, x, cfg, train=True, rng=rng)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-6, atol=1e-6)
+        g1 = jax.grad(lambda p: loss(p, cfg))(params)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_prestacked_params_match_and_roundtrip():
+    """stack_params → scan apply must equal the unrolled loop (forward +
+    grads, grads compared through unstack), and unstack(stack(p)) must
+    round-trip exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vitax.core.config import ResViTConfig
+    from vitax.models import resvit
+
+    cfg = ResViTConfig(dim=48, mlp_dim=96, n_layers=5, n_heads=4,
+                       n_kv_heads=4, lora_rank=4, dynamic_start_layer=1,
+                       dynamic_router_hdim=32, dynamic_reserve_initials=1,
+                       low_rank_dim=8, block_size=2, use_lora=True,
+                       use_reslr=True, image_size=(32, 32),
+                       patch_size=(16, 16), num_classes=7, dropout=0.0,
+                       dtype=jnp.float32, param_dtype=jnp.float32,
+                       use_pallas=False)
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    sp = resvit.stack_params(params, cfg)
+    assert resvit.is_stacked(sp) and not resvit.is_stacked(params)
+
+    # exact round-trip
+    rt = resvit.unstack_params(sp, cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(2)
+    l0, a0 = resvit.apply(params, x, cfg, train=True, rng=rng)
+    l1, a1 = resvit.apply(sp, x, cfg, train=True, rng=rng)  # auto-scan
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1["acts"]), np.asarray(a0["acts"]))
+
+    def loss(p):
+        logits, aux = resvit.apply(p, x, cfg, train=True, rng=rng)
+        return jnp.sum(logits ** 2) + aux["d_loss"]
+
+    g0 = jax.grad(loss)(params)
+    g1 = resvit.unstack_params(jax.grad(loss)(sp), cfg)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)

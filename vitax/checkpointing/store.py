@@ -195,6 +195,9 @@ class CheckpointStore:
         return restored["params"]
 
     def metadata(self, name: str) -> dict:
+        # an in-flight async save parks metadata as a dot-file until
+        # finalization — wait so metadata-after-save_async reads fresh state
+        self.wait_until_finished()
         p = os.path.join(self._path(name), "vitax_meta.json")
         if os.path.exists(p):
             with open(p) as f:

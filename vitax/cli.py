@@ -38,22 +38,37 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
     # vitax extras
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize encoder blocks (activation memory ↓)")
+    p.add_argument("--remat", type=str, nargs="?", const="full",
+                   default="selective", choices=["none", "full", "selective"],
+                   help="encoder-block rematerialization: 'selective' "
+                        "(default — keep attention outputs, recompute "
+                        "LN/MLP; the measured-best config), 'full', or "
+                        "'none'. Bare --remat means 'full' (back-compat)")
     p.add_argument("--no-pallas", action="store_true",
                    help="disable fused Pallas kernels (pure-XLA ops)")
     p.add_argument("--n-model", type=int, default=1,
                    help="tensor-parallel mesh axis size")
     p.add_argument("--synthetic-samples", type=int, default=512,
                    help="sample count for --dataset Synthetic")
-    p.add_argument("--fused-qkv", action="store_true",
-                   help="fused QKV+attention Pallas kernel (bench default "
-                        "config; +9%% b16 train throughput measured)")
-    p.add_argument("--fused-mlp", action="store_true",
-                   help="fused LN+fc1+GELU+fc2 Pallas kernel")
+    p.add_argument("--fused-qkv", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused LN1+QKV+attention+out-proj Pallas kernel "
+                        "(default: on when running on TPU; shape-gated with "
+                        "XLA fallback)")
+    p.add_argument("--fused-mlp", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused LN2+fc1+GELU+fc2 Pallas kernel (default: on "
+                        "when running on TPU; shape-gated with XLA fallback)")
     p.add_argument("--int8", action="store_true",
                    help="W8A8 int8 forward matmuls in the fused kernels "
-                        "(bwd stays bf16; experimental, accuracy-affecting)")
+                        "(bwd stays bf16; accuracy-affecting — see PERF.md "
+                        "for the convergence evidence)")
+    p.add_argument("--int8-grad", action="store_true",
+                   help="SwitchBack int8 dL/dx-path backward matmuls "
+                        "(implies --int8; the bench config)")
+    p.add_argument("--int8-dw", action="store_true",
+                   help="Jetfire per-block int8 dW matmuls in the MLP "
+                        "backward (implies --int8-grad; deepest tier)")
     p.add_argument("--device-prep", action="store_true",
                    help="ship uint8 batches, normalize/flip on device "
                         "(4x less host->device bandwidth)")

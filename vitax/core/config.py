@@ -119,7 +119,10 @@ class ResViTConfig:
     # TPU-specific
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    # False | True (full block remat) | "selective" (keep attention outputs,
+    # recompute LN/MLP — same policy as ViTConfig; essential for the
+    # teacher+student forward, which is the most activation-fat path here)
+    remat: object = False
     use_pallas: Optional[bool] = None
     # fused QKV+attention kernel; LoRA folds into the base weights exactly
     # (W_eff = W + A@B — LoRA a/b carry no bias) so the kernel serves the

@@ -46,23 +46,46 @@ def device_feed(loader: Iterable, sharding=None, depth: int = 2
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that also watches the shutdown flag, so an abandoned
+        # consumer (break / exception in the train loop) doesn't leave the
+        # worker blocked forever with `depth` device batches pinned
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in loader:
-                q.put(_stage(batch, sharding))
+                if not _put(_stage(batch, sharding)):
+                    return
         except BaseException as e:
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True,
                          name="vitax-device-feed")
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # generator close / consumer exception: release the worker and drain
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -345,6 +345,10 @@ def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
                                      cfg.norm_eps,
                                      use_pallas=cfg.use_pallas),
                           p["attention"], cfg, mesh)
+    # named residual for the selective-remat policy (same scheme as
+    # models/vit.py: keep attention outputs, recompute the LN/MLP half)
+    from jax.ad_checkpoint import checkpoint_name
+    h_att = checkpoint_name(h_att, "attn_out")
     h = x + h_att
     if cfg.fused_mlp:
         from vitax.ops import pallas_kernels as pk
@@ -364,6 +368,25 @@ def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
                                        p["ffn_norm"]["bias"], cfg.norm_eps,
                                        use_pallas=cfg.use_pallas),
                             p["feed_forward"])
+
+
+def block_fn(cfg: ResViTConfig, mesh=None):
+    """`plain_block` with the config's rematerialization policy applied.
+
+    Res-vit's teacher+student training forward is the most activation-fat
+    path in the repo (~2x a plain ViT, res-vit/model.py:478-484); selective
+    remat keeps only the attention outputs and recomputes the LN/MLP half
+    in the backward — the measured-best memory/FLOPs middle ground for the
+    standard ViT (PERF.md), ported here so fused_mlp stops paying for XLA's
+    saved GELU activations twice."""
+    f = lambda x, p: plain_block(x, p, cfg, mesh)
+    if cfg.remat == "selective":
+        return jax.checkpoint(
+            f, policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out"))
+    if cfg.remat:
+        return jax.checkpoint(f)
+    return f
 
 
 def router_forward(x: jnp.ndarray, p: Params, cfg: ResViTConfig, *,
@@ -456,6 +479,78 @@ def _strip_head_extras(lp: Params) -> Params:
                                                      "approximators")}
 
 
+def is_stacked(params: Params) -> bool:
+    """True when `params["layers"]` is in the pre-stacked scan layout."""
+    return isinstance(params.get("layers"), dict)
+
+
+def stack_params(params: Params, cfg: ResViTConfig) -> Params:
+    """Per-layer list layout → pre-stacked scan layout.
+
+    The scan apply needs layer params stacked ([dsl, ...] plain prefix;
+    [nblocks, bs, ...] routed block bases; [nblocks, ...] routers and
+    approximators). Stacking inside the step costs ~20% throughput (the
+    round-2 scan tax, PERF.md); storing params pre-stacked moves the work
+    to the checkpoint boundary. The list layout stays canonical on disk —
+    `unstack_params` converts back for save/export/diagnostics."""
+    if is_stacked(params):
+        return params
+    if not _scan_eligible(cfg):
+        raise ValueError("cannot stack: routed region is not whole blocks")
+    dsl = cfg.dynamic_start_layer if cfg.use_reslr else cfg.n_layers
+    bs, L = cfg.block_size, cfg.n_layers
+    layers = params["layers"]
+    stacked: Params = {}
+    if dsl > 0:
+        stacked["prefix"] = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                         *[layers[i] for i in range(dsl)])
+    if dsl < L:
+        nblocks = (L - dsl) // bs
+        stacked["base"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[jax.tree.map(lambda *ys: jnp.stack(ys),
+                           *[_strip_head_extras(layers[dsl + i * bs + p])
+                             for p in range(bs)])
+              for i in range(nblocks)])          # leaves [nblocks, bs, ...]
+        stacked["router"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[layers[dsl + i * bs]["router"] for i in range(nblocks)])
+        stacked["approximators"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[layers[dsl + i * bs]["approximators"] for i in range(nblocks)])
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = stacked
+    return out
+
+
+def unstack_params(params: Params, cfg: ResViTConfig) -> Params:
+    """Pre-stacked scan layout → per-layer list layout (exact inverse of
+    `stack_params`)."""
+    if not is_stacked(params):
+        return params
+    dsl = cfg.dynamic_start_layer if cfg.use_reslr else cfg.n_layers
+    bs, L = cfg.block_size, cfg.n_layers
+    s = params["layers"]
+    layers: List[Params] = []
+    for i in range(dsl):
+        layers.append(jax.tree.map(lambda a, i=i: a[i], s["prefix"]))
+    if dsl < L:
+        nblocks = (L - dsl) // bs
+        for i in range(nblocks):
+            for p in range(bs):
+                lp = jax.tree.map(lambda a, i=i, p=p: a[i, p], s["base"])
+                if p == 0:
+                    lp = dict(lp)
+                    lp["router"] = jax.tree.map(lambda a, i=i: a[i],
+                                                s["router"])
+                    lp["approximators"] = jax.tree.map(
+                        lambda a, i=i: a[i], s["approximators"])
+                layers.append(lp)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = layers
+    return out
+
+
 def _scan_eligible(cfg: ResViTConfig) -> bool:
     """Blocks are scannable when the routed region is whole blocks: the
     per-block program then compiles ONCE instead of being unrolled across
@@ -485,6 +580,9 @@ def apply(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     throughput (per-step parameter restack + lost cross-layer overlap),
     so the unrolled loop is the default; pass True when compile time
     matters more than steady-state speed."""
+    if is_stacked(params):  # pre-stacked layout only runs the scan form
+        return _apply_scan(params, images, cfg, train=train, rng=rng,
+                           mesh=mesh)
     if scan_layers is None:
         scan_layers = False
     if scan_layers and _scan_eligible(cfg):
@@ -506,14 +604,17 @@ def _apply_scan(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     x = embed(params, images, cfg)
     b, n, _ = x.shape
     layers = params["layers"]
+    stacked = isinstance(layers, dict)
+    blk = block_fn(cfg, mesh)
 
     # -- plain prefix: scan one block body over stacked layers -------------
     if dsl > 0:
-        prefix = jax.tree.map(lambda *xs: jnp.stack(xs),
-                              *[layers[i] for i in range(dsl)])
+        prefix = (layers["prefix"] if stacked else
+                  jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[layers[i] for i in range(dsl)]))
 
         def plain_body(carry, lp):
-            return plain_block(carry, lp, cfg, mesh), None
+            return blk(carry, lp), None
 
         x, _ = jax.lax.scan(plain_body, x, prefix)
     student = x
@@ -533,18 +634,23 @@ def _apply_scan(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
 
     # -- routed blocks: scan over stacked whole blocks ---------------------
     nblocks = (L - dsl) // bs
-    block_base = jax.tree.map(
-        lambda *xs: jnp.stack(xs),
-        *[jax.tree.map(lambda *ys: jnp.stack(ys),
-                       *[_strip_head_extras(layers[dsl + i * bs + p])
-                         for p in range(bs)])
-          for i in range(nblocks)])              # leaves [nblocks, bs, ...]
-    routers = jax.tree.map(lambda *xs: jnp.stack(xs),
-                           *[layers[dsl + i * bs]["router"]
-                             for i in range(nblocks)])
-    approxs = jax.tree.map(lambda *xs: jnp.stack(xs),
-                           *[layers[dsl + i * bs]["approximators"]
-                             for i in range(nblocks)])
+    if stacked:
+        block_base = layers["base"]
+        routers = layers["router"]
+        approxs = layers["approximators"]
+    else:
+        block_base = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[jax.tree.map(lambda *ys: jnp.stack(ys),
+                           *[_strip_head_extras(layers[dsl + i * bs + p])
+                             for p in range(bs)])
+              for i in range(nblocks)])          # leaves [nblocks, bs, ...]
+        routers = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[layers[dsl + i * bs]["router"]
+                                 for i in range(nblocks)])
+        approxs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[layers[dsl + i * bs]["approximators"]
+                                 for i in range(nblocks)])
     head_lids = jnp.arange(nblocks, dtype=jnp.uint32) * bs + dsl
 
     def block_body(carry, xs):
@@ -563,8 +669,8 @@ def _apply_scan(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
             attn_mask = jnp.isin(path_ids,
                                  jnp.asarray(trans_ids, jnp.int32))[..., None]
             if train:
-                teacher = plain_block(teacher, lp, cfg, mesh)
-            transformer_out = plain_block(student, lp, cfg, mesh)
+                teacher = blk(teacher, lp)
+            transformer_out = blk(student, lp)
             merged = jnp.where(attn_mask, transformer_out, student)
             student_out = apply_approximators(merged, approx, path_ids,
                                               lora_ids)
@@ -605,6 +711,7 @@ def _apply_loop(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     """Unrolled per-layer loop (reference-shaped control flow)."""
     roles = layer_roles(cfg)
     lra = lra_path_ids(cfg.block_size) if cfg.use_reslr else None
+    blk = block_fn(cfg, mesh)
 
     x = embed(params, images, cfg)
     student = x
@@ -621,7 +728,7 @@ def _apply_loop(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     for lid, role in enumerate(roles):
         lp = params["layers"][lid]
         if not role["routed"]:
-            out = plain_block(student, lp, cfg, mesh)
+            out = blk(student, lp)
             # plain layers collapse teacher onto the student path — the
             # reference returns (out, out, ...) (res-vit/model.py:440-444)
             teacher = out
@@ -653,8 +760,8 @@ def _apply_loop(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
                              )[..., None]
 
         if train:
-            teacher = plain_block(teacher, lp, cfg, mesh)
-        transformer_out = plain_block(student, lp, cfg, mesh)
+            teacher = blk(teacher, lp)
+        transformer_out = blk(student, lp)
         merged = jnp.where(attn_mask, transformer_out, student)
         student_out = apply_approximators(
             merged, block_ctx["approx_params"], path_ids, lora_ids)

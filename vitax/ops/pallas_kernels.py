@@ -625,7 +625,7 @@ def _quant_cols(x32, limit=127.0):
     return q, s
 
 
-def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref,
+def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, b1_ref,
                             w1q_ref, s1r_ref, w2q_ref, s2r_ref,
                             w1c_ref, s1c_ref, do_ref,
                             dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref,
@@ -1152,7 +1152,7 @@ def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
                           residual=residual, chunks=_bwd_chunks(rows),
                           int8_dw=int8_dw),
         grid=(n // rows,),
-        in_specs=[row_blk, vec(d), vec(d), mat(d, m), vec(m),
+        in_specs=[row_blk, vec(d), vec(d), vec(m),
                   mat(d, m), vec(d), mat(m, d), vec(m),
                   mat(d, m), vec(m), row_blk],
         out_specs=(row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
@@ -1166,10 +1166,10 @@ def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
                    jax.ShapeDtypeStruct((d,), jnp.float32)),
         cost_estimate=pl.CostEstimate(
             flops=10 * n * d * m, transcendentals=2 * n * m,
-            bytes_accessed=3 * n * d * x2.dtype.itemsize + 12 * d * m),
+            bytes_accessed=3 * n * d * x2.dtype.itemsize + 10 * d * m),
         interpret=_INTERPRET,
         **_VMEM_LIMIT,
-    )(x2, gamma, beta, w1, b1, w1q, s1r, w2q, s2r, w1c, s1c, do2)
+    )(x2, gamma, beta, b1, w1q, s1r, w2q, s2r, w1c, s1c, do2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))

@@ -78,8 +78,9 @@ def get_train_config(argv=None):
     p.add_argument("--initial-lambda-distill", type=float, default=0.01)
     p.add_argument("--initial-lambda-class", type=float, default=1.0)
     p.add_argument("--dynamic_active_target", type=float, default=0.6)
-    p.add_argument("--n_heads", type=int, default=12)
-    p.add_argument("--n_kv_heads", type=int, default=12)
+    # None = follow the arch preset (12 for b16, 16 for l16/h14, 3 for tiny)
+    p.add_argument("--n_heads", type=int, default=None)
+    p.add_argument("--n_kv_heads", type=int, default=None)
     p.add_argument("--norm_eps", type=float, default=1e-5)
     p.add_argument("--lora_rank", type=int, default=8)
     p.add_argument("--dynamic_start_layer", type=int, default=2)
@@ -92,9 +93,29 @@ def get_train_config(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
-    p.add_argument("--fused-qkv", action="store_true",
-                   help="fused QKV+attention kernel (LoRA folds in exactly; +38%% "
-                        "res-vit train throughput measured)")
+    p.add_argument("--fused-qkv", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused LN+QKV+attention+out-proj kernel (LoRA folds "
+                        "in exactly; default: on when running on TPU)")
+    p.add_argument("--fused-mlp", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused LN+fc1+GELU+fc2 kernel for the feed-forward "
+                        "half (default: on when running on TPU with "
+                        "selective remat)")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 int8 projections in the fused attention kernel")
+    p.add_argument("--int8-grad", action="store_true",
+                   help="int8 dL/dx-path attention backward (implies --int8; "
+                        "the measured-fastest res-vit config)")
+    p.add_argument("--remat", type=str, nargs="?", const="full",
+                   default=None, choices=["none", "full", "selective"],
+                   help="block rematerialization (default: auto — "
+                        "'selective' when fused-mlp is on, else 'none')")
+    p.add_argument("--scan-layers", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="lax.scan over blocks with PRE-STACKED params "
+                        "(compile ~5x faster; params stored stacked in "
+                        "memory, converted at the checkpoint boundary)")
     p.add_argument("--exp-root", type=str, default="experiments")
     p.add_argument("--synthetic-samples", type=int, default=512)
     cfg = p.parse_args(argv)
@@ -103,21 +124,50 @@ def get_train_config(argv=None):
 
 
 def config_to_model_args(c) -> "resvit_arch_config":
-    """res-vit/config.py:68-96 equivalent: argparse config → ResViTConfig."""
+    """res-vit/config.py:68-96 equivalent: argparse config → ResViTConfig.
+
+    Fused kernels and the int8 attention tiers default to the measured-
+    fastest on-TPU configuration; every kernel keeps its shape gate + XLA
+    fallback. `--int8-grad` implies `--int8`."""
     dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+    on_tpu = jax.default_backend() not in ("cpu",)
+    fused_qkv = getattr(c, "fused_qkv", None)
+    if fused_qkv is None:
+        fused_qkv = on_tpu
+    fused_mlp = getattr(c, "fused_mlp", None)
+    if fused_mlp is None:
+        # off by default until the res-vit selective-remat + fused_mlp
+        # combination measures a win (fused_mlp alone regressed −12% in the
+        # no-remat context; PERF.md)
+        fused_mlp = False
+    int8_grad = getattr(c, "int8_grad", False)
+    int8 = getattr(c, "int8", False) or int8_grad
+    remat = getattr(c, "remat", None)
+    if remat is None:
+        # fused_mlp's in-kernel recompute only wins when XLA is NOT also
+        # persisting the GELU activations — pair them by default
+        remat = "selective" if fused_mlp else "none"
+    remat = {"none": False, "full": True}.get(remat, remat)
+    head_kw = {}
+    if c.n_heads is not None:
+        head_kw["n_heads"] = c.n_heads
+    if c.n_kv_heads is not None or c.n_heads is not None:
+        head_kw["n_kv_heads"] = (c.n_kv_heads if c.n_kv_heads is not None
+                                 else c.n_heads)
     return resvit_arch_config(
         c.model_arch, image_size=c.image_size, num_classes=c.num_classes,
-        n_kv_heads=c.n_kv_heads, norm_eps=c.norm_eps, lora_rank=c.lora_rank,
+        **head_kw, norm_eps=c.norm_eps, lora_rank=c.lora_rank,
         dynamic_active_target=c.dynamic_active_target,
         dynamic_start_layer=c.dynamic_start_layer,
         dynamic_router_hdim=c.dynamic_router_hdim,
         dynamic_reserve_initials=c.dynamic_reserve_initials,
         low_rank_dim=c.low_rank_dim, block_size=c.block_size,
         use_lora=c.use_lora, use_reslr=c.use_reslr,
-        dtype=dtype, fused_qkv=getattr(c, "fused_qkv", False),
-        # qkvo (out-proj subsumed) measured fastest for res-vit (897 vs 883
-        # img/s); fused_mlp measured slower here (no-remat context) — off
-        fused_qkvo=getattr(c, "fused_qkv", False),
+        dtype=dtype, fused_qkv=fused_qkv,
+        # qkvo (out-proj + LN subsumed) measured fastest for res-vit
+        fused_qkvo=fused_qkv,
+        fused_mlp=fused_mlp, remat=remat,
+        int8_attn=int8, int8_attn_grad=int8_grad,
         use_pallas=False if c.no_pallas else None)
 
 
@@ -191,6 +241,11 @@ def main(argv=None):
         inner = lr_sched
         lr_sched = lambda step: inner(step // steps_per_epoch)
 
+    if config.scan_layers and resvit._scan_eligible(cfg):
+        # pre-stacked layout: the scan apply runs with zero per-step
+        # restacking; list layout stays canonical at the checkpoint/
+        # diagnostics boundary (stack_params docstring)
+        params = resvit.stack_params(params, cfg)
     tx = make_adamw_for(cfg, params, lr_sched,
                         betas=(config.beta1, config.beta2), eps=config.eps,
                         weight_decay=config.wd,

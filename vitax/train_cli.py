@@ -115,19 +115,38 @@ def make_weighted_eval_step(cfg, device_prep: bool = False):
     return jax.jit(step_fn)
 
 
+def model_config_from_cli(config):
+    """CLI flags → ViTConfig. Split out so tests can assert the plumbing.
+
+    Fused kernels default ON when running on a TPU backend (the measured-
+    fastest configuration; the per-shape `*_supported` gates keep the XLA
+    fallback for unsupported geometries). `--int8-dw` implies `--int8-grad`
+    implies `--int8` — each tier builds on the previous one."""
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    on_tpu = jax.default_backend() not in ("cpu",)
+    fused_qkv = config.fused_qkv if config.fused_qkv is not None else on_tpu
+    fused_mlp = (config.fused_mlp if getattr(config, "fused_mlp", None)
+                 is not None else on_tpu)
+    int8_dw = getattr(config, "int8_dw", False)
+    int8_grad = getattr(config, "int8_grad", False) or int8_dw
+    int8 = getattr(config, "int8", False) or int8_grad
+    remat = {"none": False, "full": True}.get(config.remat, config.remat)
+    return arch_config(config.model_arch, image_size=config.image_size,
+                       num_classes=config.num_classes, dtype=dtype,
+                       remat=remat, fused_qkv=fused_qkv,
+                       fused_mlp=fused_mlp,
+                       int8_mlp=int8, int8_attn=int8,
+                       int8_mlp_grad=int8_grad, int8_attn_grad=int8_grad,
+                       int8_dw=int8_dw,
+                       use_pallas=False if config.no_pallas else None)
+
+
 def main(argv=None):
     config = cli.get_train_config(argv)
     cli.print_config(config)
     root_key = set_seed(config.seed)
 
-    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-    cfg = arch_config(config.model_arch, image_size=config.image_size,
-                      num_classes=config.num_classes, dtype=dtype,
-                      remat=config.remat, fused_qkv=config.fused_qkv,
-                      fused_mlp=getattr(config, "fused_mlp", False),
-                      int8_mlp=getattr(config, "int8", False),
-                      int8_attn=getattr(config, "int8", False),
-                      use_pallas=False if config.no_pallas else None)
+    cfg = model_config_from_cli(config)
 
     # model init / pretrained load (head re-init on class mismatch,
     # src/train.py:117-121)
