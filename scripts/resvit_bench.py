@@ -56,6 +56,8 @@ def main():
         fused_qkv=not a.no_fused, fused_qkvo=not a.no_fused,
         fused_mlp=a.fused_mlp, remat=remat,
         int8_attn=a.int8 or a.int8_grad, int8_attn_grad=a.int8_grad,
+        int8_mlp=a.fused_mlp and (a.int8 or a.int8_grad),
+        int8_mlp_grad=a.fused_mlp and a.int8_grad,
         use_pallas=False)
     print(f"backend={jax.default_backend()} batch={a.batch} remat={remat} "
           f"fused={not a.no_fused} fused_mlp={a.fused_mlp} "

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--arch", type=str, default="b16")
+    p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--remat", type=str, default="selective",
                    choices=["selective", "none", "full"])
@@ -46,11 +48,12 @@ def main():
     remat = {"selective": "selective", "none": False, "full": True}[a.remat]
     int8_kw = dict(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
                    int8_attn_grad=True) if a.int8 else {}
-    cfg = arch_config("b16", image_size=224, num_classes=100,
+    cfg = arch_config(a.arch, image_size=a.image_size, num_classes=100,
                       dtype=jnp.bfloat16, use_pallas=False,
                       fused_qkv=True, fused_mlp=True,
                       fused_mlp_save=not a.no_save, remat=remat, **int8_kw)
-    print(f"backend={jax.default_backend()} batch={a.batch} remat={remat} "
+    print(f"backend={jax.default_backend()} arch={a.arch}@{a.image_size} "
+          f"batch={a.batch} remat={remat} "
           f"save={not a.no_save} int8={a.int8}", flush=True)
 
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
@@ -59,7 +62,8 @@ def main():
                                                           pct_start=500 / 15000))
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
     key = jax.random.PRNGKey(2)
-    images = jax.random.normal(key, (a.batch, 224, 224, 3), jnp.bfloat16)
+    images = jax.random.normal(key, (a.batch, a.image_size, a.image_size, 3),
+                               jnp.bfloat16)
     labels = jax.random.randint(jax.random.fold_in(key, 1), (a.batch,), 0, 100)
 
     train_step = make_train_step(cfg, tx, donate=True)

@@ -71,8 +71,10 @@ def _resvit_cfg(tmp_path, *flags):
 def test_resvit_int8_grad_implies_int8(tmp_path):
     cfg = _resvit_cfg(tmp_path, "--int8-grad")
     assert cfg.int8_attn and cfg.int8_attn_grad
+    assert cfg.int8_mlp and cfg.int8_mlp_grad
     cfg = _resvit_cfg(tmp_path, "--int8")
     assert cfg.int8_attn and not cfg.int8_attn_grad
+    assert cfg.int8_mlp and not cfg.int8_mlp_grad
 
 
 def test_resvit_fused_defaults(tmp_path):

@@ -138,6 +138,11 @@ class ResViTConfig:
     # dL/dx-path backward projections). Experimental, off by default.
     int8_attn: bool = False
     int8_attn_grad: bool = False
+    # same tiers for the fused MLP kernel (requires fused_mlp; the MLP is
+    # the largest FLOPs chunk of the teacher+student step)
+    int8_mlp: bool = False
+    int8_mlp_grad: bool = False
+    int8_dw: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

@@ -200,7 +200,8 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
             p["value"]["bias"].astype(jnp.float32),
             p["out"]["kernel"].astype(dt),
             p["out"]["bias"].astype(jnp.float32),
-            mesh, LN_EPS, s, h, hd)[:, :s]
+            mesh, LN_EPS, s, h, hd,
+            cfg.int8_attn, cfg.int8_attn_grad)[:, :s]
         return out.astype(dt)
 
     wq = p["query"]["kernel"].astype(dt).reshape(d, h * hd)
@@ -251,7 +252,9 @@ def _fused_block_mlp(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
             x, lp["ln2"]["scale"].astype(jnp.float32),
             lp["ln2"]["bias"].astype(jnp.float32),
             w1, lp["mlp"]["fc1"]["bias"].astype(jnp.float32),
-            w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), mesh, LN_EPS)
+            w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), mesh, LN_EPS,
+            int8=cfg.int8_mlp, int8_grad=cfg.int8_mlp_grad,
+            int8_dw=cfg.int8_dw)
 
     if not pk.ln_mlp_supported(x, w1, w2):
         return None

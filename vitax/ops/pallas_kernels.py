@@ -1279,9 +1279,11 @@ def qkv_attention_supported(xhat, wqkv) -> bool:
     if wqkv.shape[0] != d or wqkv.shape[1] % 3 != 0:
         return False
     hhd = wqkv.shape[1] // 3
-    # d=1280 (h14) still trips the remote compile helper — measured this
-    # round; l16 (d=1024) compiles and runs (+45% with int8, PERF.md)
-    if s > 1024 or d > 1024 or hhd > 1024 or d % 128:
+    # d=1280 (h14) tripped the remote compile helper in round 2; l16
+    # (d=1024) compiles and runs (+45% with int8, PERF.md). The env knob
+    # lets h14 experiments re-open the gate without code edits.
+    max_d = int(_os.environ.get("VITAX_QKVO_MAX_D", "1024"))
+    if s > 1024 or d > max_d or hhd > max_d or d % 128:
         return False
     # VMEM estimate per grid step: wqkv bf16 + fp32 dW/dWo accumulators +
     # the staged per-(tile,head) fp32 probs (head_dim assumed >= 64)

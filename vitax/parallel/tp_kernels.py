@@ -32,7 +32,8 @@ def tp_size(mesh: Optional[Mesh]) -> int:
 
 def fused_ln_qkvo_attention_tp(x, gamma, beta, wq, wk, wv, bq, bk, bv,
                                wo, bo, mesh: Mesh, eps: float, seq_len: int,
-                               heads: int, head_dim: int):
+                               heads: int, head_dim: int,
+                               int8: bool = False, int8_grad: bool = False):
     """LN1+QKV+attention+out-proj fused kernel, per model-shard.
 
     Weight layouts are the model's npz layouts: wq/wk/wv [D,H,Hd] (heads
@@ -52,7 +53,8 @@ def fused_ln_qkvo_attention_tp(x, gamma, beta, wq, wk, wv, bq, bk, bv,
                                 bv.reshape(-1)]).astype(jnp.float32)
         out = pk.fused_ln_qkvo_attention(
             x, g, be, wqkv, bqkv, wo.reshape(-1, d),
-            jnp.zeros((d,), jnp.float32), eps, seq_len, h_local, head_dim)
+            jnp.zeros((d,), jnp.float32), eps, seq_len, h_local, head_dim,
+            int8, int8_grad)
         return jax.lax.psum(out, MODEL_AXIS)
 
     out = jax.shard_map(
@@ -99,7 +101,9 @@ def fused_qkvo_attention_tp(x, wq, wk, wv, bq, bk, bv, wo, bo, mesh: Mesh,
     return out + bo.astype(jnp.float32).astype(out.dtype)
 
 
-def fused_ln_mlp_tp(x, gamma, beta, w1, b1, w2, b2, mesh: Mesh, eps: float):
+def fused_ln_mlp_tp(x, gamma, beta, w1, b1, w2, b2, mesh: Mesh, eps: float,
+                    int8: bool = False, int8_grad: bool = False,
+                    int8_dw: bool = False):
     """LN2+fc1+GELU+fc2 fused kernel, per model-shard: fc1 column-parallel
     [D,M/tp], fc2 row-parallel [M/tp,D]; per-shard partials psum'd, then the
     residual x and b2 are added ONCE. Same result as fused_ln_mlp."""
@@ -108,7 +112,8 @@ def fused_ln_mlp_tp(x, gamma, beta, w1, b1, w2, b2, mesh: Mesh, eps: float):
     def shard_fn(x, g, be, w1, b1, w2):
         y = pk.fused_ln_mlp(x, g, be, w1, b1, w2,
                             jnp.zeros((x.shape[-1],), jnp.float32), eps,
-                            residual=False)
+                            residual=False, int8=int8, int8_grad=int8_grad,
+                            int8_dw=int8_dw)
         return jax.lax.psum(y, MODEL_AXIS)
 
     y = jax.shard_map(

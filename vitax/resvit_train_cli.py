@@ -109,8 +109,9 @@ def get_train_config(argv=None):
                         "the measured-fastest res-vit config)")
     p.add_argument("--remat", type=str, nargs="?", const="full",
                    default=None, choices=["none", "full", "selective"],
-                   help="block rematerialization (default: auto — "
-                        "'selective' when fused-mlp is on, else 'none')")
+                   help="block rematerialization (default: none — measured "
+                        "best for res-vit; the fused kernels keep residuals "
+                        "small without it)")
     p.add_argument("--scan-layers", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="lax.scan over blocks with PRE-STACKED params "
@@ -134,19 +135,22 @@ def config_to_model_args(c) -> "resvit_arch_config":
     fused_qkv = getattr(c, "fused_qkv", None)
     if fused_qkv is None:
         fused_qkv = on_tpu
-    fused_mlp = getattr(c, "fused_mlp", None)
-    if fused_mlp is None:
-        # off by default until the res-vit selective-remat + fused_mlp
-        # combination measures a win (fused_mlp alone regressed −12% in the
-        # no-remat context; PERF.md)
-        fused_mlp = False
     int8_grad = getattr(c, "int8_grad", False)
     int8 = getattr(c, "int8", False) or int8_grad
+    fused_mlp = getattr(c, "fused_mlp", None)
+    if fused_mlp is None:
+        # bf16 fused_mlp regresses res-vit (in-kernel recompute vs XLA's
+        # saved activations, PERF.md); the int8 MLP tiers flip it to the
+        # best measured config (+0.5% at HALF the activation memory,
+        # round-3 matrix) — so default it on exactly when int8 is on
+        fused_mlp = on_tpu and int8
     remat = getattr(c, "remat", None)
     if remat is None:
-        # fused_mlp's in-kernel recompute only wins when XLA is NOT also
-        # persisting the GELU activations — pair them by default
-        remat = "selective" if fused_mlp else "none"
+        # measured (round 3, batch 96 int8 recipe): selective remat LOSES
+        # for res-vit both without fused_mlp (830->750) and with it
+        # (768->754) — the custom-VJP kernels already keep residuals tiny,
+        # so remat only adds replay work. Off unless explicitly requested.
+        remat = "none"
     remat = {"none": False, "full": True}.get(remat, remat)
     head_kw = {}
     if c.n_heads is not None:
@@ -168,6 +172,7 @@ def config_to_model_args(c) -> "resvit_arch_config":
         fused_qkvo=fused_qkv,
         fused_mlp=fused_mlp, remat=remat,
         int8_attn=int8, int8_attn_grad=int8_grad,
+        int8_mlp=int8, int8_mlp_grad=int8_grad,
         use_pallas=False if c.no_pallas else None)
 
 

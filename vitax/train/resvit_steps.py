@@ -98,7 +98,9 @@ def make_train_step(cfg: ResViTConfig, tx: optax.GradientTransformation,
         return ResViTState(step=state.step + 1, params=params,
                            opt_state=opt_state, rng=state.rng), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    from vitax.train.steps import train_compiler_options
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else (),
+                   compiler_options=train_compiler_options(cfg))
 
 
 def make_eval_step(cfg: ResViTConfig, lambdas: Lambdas = Lambdas()):

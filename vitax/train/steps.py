@@ -53,6 +53,25 @@ def topk_accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
     return out
 
 
+def train_compiler_options(cfg) -> dict | None:
+    """Per-compile XLA options for the train step.
+
+    `fused_mlp_save` programs stack the kernel-saved activations across the
+    layer scan; XLA fuses that dynamic-update-slice with the pallas_call and
+    the fusion's scoped-vmem allocation (~17.5 MB at batch 96) exceeds the
+    16 MB default — the round-2 "opaque 500". Raising
+    xla_tpu_scoped_vmem_limit_kib per-compile fixes it (measured: compiles
+    and runs at batch 96-192). TPU-only option, so gated on backend; the
+    env knob VITAX_SCOPED_VMEM_KIB forces a value for experiments."""
+    import os
+    if jax.default_backend() in ("cpu",):
+        return None
+    kib = int(os.environ.get("VITAX_SCOPED_VMEM_KIB", "0"))
+    if not kib and getattr(cfg, "fused_mlp_save", False):
+        kib = 65536
+    return {"xla_tpu_scoped_vmem_limit_kib": str(kib)} if kib else None
+
+
 def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
                     donate: bool = True, device_prep: bool = False,
                     mesh=None):
@@ -90,7 +109,8 @@ def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    return jax.jit(step_fn, donate_argnums=donate_argnums,
+                   compiler_options=train_compiler_options(cfg))
 
 
 def make_eval_step(cfg: ViTConfig):
