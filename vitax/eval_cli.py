@@ -30,10 +30,13 @@ def main(argv=None):
     set_seed(config.seed)
 
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    on_tpu = jax.default_backend() not in ("cpu",)
+    fused_qkv = getattr(config, "fused_qkv", None)
+    fused_mlp = getattr(config, "fused_mlp", None)
     cfg = arch_config(config.model_arch, image_size=config.image_size,
                       num_classes=config.num_classes, dtype=dtype,
-                      fused_qkv=getattr(config, "fused_qkv", False),
-                      fused_mlp=getattr(config, "fused_mlp", False),
+                      fused_qkv=on_tpu if fused_qkv is None else fused_qkv,
+                      fused_mlp=on_tpu if fused_mlp is None else fused_mlp,
                       int8_mlp=getattr(config, "int8", False),
                       int8_attn=getattr(config, "int8", False),
                       use_pallas=False if config.no_pallas else None)

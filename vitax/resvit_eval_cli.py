@@ -49,8 +49,9 @@ def get_eval_config(argv=None):
     p.add_argument("--use_lora", type=lambda s: s != "False", default=True)
     p.add_argument("--use_reslr", type=lambda s: s != "False", default=True)
     p.add_argument("--dynamic_active_target", type=float, default=0.6)
-    p.add_argument("--n_heads", type=int, default=12)
-    p.add_argument("--n_kv_heads", type=int, default=12)
+    # None = follow the arch preset (12 for b16, 16 for l16/h14)
+    p.add_argument("--n_heads", type=int, default=None)
+    p.add_argument("--n_kv_heads", type=int, default=None)
     p.add_argument("--norm_eps", type=float, default=1e-5)
     p.add_argument("--lora_rank", type=int, default=8)
     p.add_argument("--dynamic_start_layer", type=int, default=2)
@@ -62,8 +63,12 @@ def get_eval_config(argv=None):
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=512)
-    p.add_argument("--fused-qkv", action="store_true",
-                   help="fused QKV+attention kernel (non-LoRA layers)")
+    p.add_argument("--fused-qkv", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused LN+QKV+attention+out-proj kernel (default: "
+                        "on when running on TPU)")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 int8 projections in the fused kernels")
     p.add_argument("--compact-capacity", type=float, default=None,
                    help="enable token-compaction inference with this kept "
                         "fraction (e.g. 0.5); exact when it covers the "
