@@ -130,11 +130,13 @@ def main():
     floor_bwd = L * ((f_mlp_dx + f_mlp_rec + f_at_dx + f_at_rec) / rate_mm
                      + (f_mlp_dw + f_at_dw) / TF_BF16_MM
                      + f_at_core / rate_at)
-    _emit("forward", t_fwd, {"floor_ms": round(floor_fwd * 1e3, 2),
-                             "floor_pct": round(floor_fwd / t_fwd * 100, 1)})
+    # floors are in ms already: f [GF] / rate [TF/s] = ms
+    _emit("forward", t_fwd,
+          {"floor_ms": round(floor_fwd, 2),
+           "floor_pct": round(floor_fwd / (t_fwd * 1e3) * 100, 1)})
     _emit("backward", t_fb - t_fwd,
-          {"floor_ms": round(floor_bwd * 1e3, 2),
-           "floor_pct": round(floor_bwd / (t_fb - t_fwd) * 100, 1)})
+          {"floor_ms": round(floor_bwd, 2),
+           "floor_pct": round(floor_bwd / ((t_fb - t_fwd) * 1e3) * 100, 1)})
     _emit("optimizer+embed+head", t_step - t_fb)
     _emit("full_step", t_step,
           {"img_per_sec": round(B / t_step, 1)})
