@@ -418,8 +418,12 @@ _MLP_FWD_CHUNKS = int(_os.environ.get("VITAX_MLP_CHUNKS", 2))
 # far below the ~128 MB physically present (measured on-chip; the limit
 # is what round-1 misread as a hardware ceiling). Kernels that keep
 # weights + fp32 weight-grad accumulators resident must raise it.
+# h14 (d=1280, m=5120) needs ~121 MB in the MLP backward (the two f32 dW
+# accumulators alone are 52 MB) — the env knob lets big-d runs use the
+# full chip (v5e: 128 MiB physical).
+_VMEM_LIMIT_MB = int(_os.environ.get("VITAX_KERNEL_VMEM_MB", 100))
 _VMEM_LIMIT = dict(compiler_params=pltpu.CompilerParams(
-    vmem_limit_bytes=100 * 1024 * 1024))
+    vmem_limit_bytes=_VMEM_LIMIT_MB * 1024 * 1024))
 
 
 def ln_mlp_supported(x, w1, w2) -> bool:
