@@ -36,6 +36,7 @@ def main():
     p.add_argument("--no-save", action="store_true",
                    help="control: same config without save_acts")
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--int8-dw", action="store_true")
     p.add_argument("--scoped-vmem-kib", type=int, default=0,
                    help="forward xla_tpu_scoped_vmem_limit_kib per-compile")
     a = p.parse_args()
@@ -48,6 +49,8 @@ def main():
     remat = {"selective": "selective", "none": False, "full": True}[a.remat]
     int8_kw = dict(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
                    int8_attn_grad=True) if a.int8 else {}
+    if a.int8_dw:
+        int8_kw["int8_dw"] = True
     cfg = arch_config(a.arch, image_size=a.image_size, num_classes=100,
                       dtype=jnp.bfloat16, use_pallas=False,
                       fused_qkv=True, fused_mlp=True,

@@ -64,6 +64,8 @@ def main():
     ap.add_argument("--chain", type=int, default=12)
     ap.add_argument("--bf16", action="store_true",
                     help="measure the bf16 fused config instead of int8")
+    ap.add_argument("--remat", type=str, default="selective",
+                    choices=["selective", "none", "full"])
     args = ap.parse_args()
     B = args.batch
     K = args.chain
@@ -76,9 +78,10 @@ def main():
     from vitax.train.steps import cross_entropy
 
     int8 = not args.bf16
+    remat = {"selective": "selective", "none": False, "full": True}[args.remat]
     cfg = arch_config("b16", image_size=224, num_classes=100,
                       dtype=jnp.bfloat16, use_pallas=False, fused_qkv=True,
-                      fused_mlp=True, remat="selective",
+                      fused_mlp=True, remat=remat,
                       int8_mlp=int8, int8_attn=int8,
                       int8_mlp_grad=int8, int8_attn_grad=int8)
     S, D, M, H, Hd = cfg.seq_len, cfg.emb_dim, cfg.mlp_dim, 12, 64

@@ -362,6 +362,37 @@ def test_ln_qkvo_int8_grad_close_to_fp():
         assert err < 0.06 * scale, (name, err, scale)
 
 
+def test_ln_qkvo_int8_dw_close_to_fp():
+    """Per-block int8 dW/dWo in the attention backward (deepest tier):
+    weight grads within a quantization band of the int8-grad variant."""
+    b, s_, d, h, hd = 2, 64, 128, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(17), 6)
+    x = jax.random.normal(ks[0], (b, s_, d))
+    g = jnp.ones((d,), jnp.float32)
+    be = jnp.zeros((d,), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (d, 3 * d)) * d ** -0.5
+    bqkv = jax.random.normal(ks[2], (3 * d,)) * 0.02
+    wo = jax.random.normal(ks[3], (d, d)) * d ** -0.5
+    bo = jax.random.normal(ks[4], (d,)) * 0.02
+
+    def loss(int8_dw):
+        def f(x, wqkv, wo):
+            return jnp.sum(pk.fused_ln_qkvo_attention(
+                x, g, be, wqkv, bqkv, wo, bo, 1e-5, s_, h, hd, True,
+                True, int8_dw))
+        return f
+
+    ga = jax.grad(loss(False), argnums=(0, 1, 2))(x, wqkv, wo)
+    gb = jax.grad(loss(True), argnums=(0, 1, 2))(x, wqkv, wo)
+    # dx path identical (int8_dw touches only the dW matmuls)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(ga[0]),
+                               rtol=1e-6, atol=1e-6)
+    for name, a, b_ in zip("wqkv wo".split(), ga[1:], gb[1:]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(b_ - a)))
+        assert err < 0.06 * scale, (name, err, scale)
+
+
 def test_ln_mlp_int8_dw_close_to_fp():
     """Per-block int8 dW (deepest tier): dW within a quantization band of
     the fp weight grads."""
@@ -371,6 +402,54 @@ def test_ln_mlp_int8_dw_close_to_fp():
         def f(*a):
             return jnp.sum(pk.fused_ln_mlp(*a, 1e-5, int8=True,
                                            int8_grad=True, int8_dw=int8_dw))
+        return f
+
+    ga = jax.grad(loss(False), argnums=(3, 5))(*args)
+    gb = jax.grad(loss(True), argnums=(3, 5))(*args)
+    for name, a, b_ in zip("w1 w2".split(), ga, gb):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(b_ - a)))
+        assert err < 0.06 * scale, (name, err, scale)
+
+
+def test_ln_mlp_int8_save_matches_int8_recompute():
+    """int8 save-acts (h1q/sh/g'q persisted, pure-int8-matmul backward):
+    forward identical to the int8 forward; grads within a small band of the
+    int8-recompute backward (the only extra error sources are the static
+    g' quantization and h1q feeding dW2 directly)."""
+    args = _mlp_args(jax.random.PRNGKey(18), b=2, s=64, d=128, m=256)
+
+    def fwd(save):
+        return pk.fused_ln_mlp(*args, 1e-5, save_acts=save, int8=True,
+                               int8_grad=True)
+
+    np.testing.assert_allclose(np.asarray(fwd(True)), np.asarray(fwd(False)),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(save):
+        def f(*a):
+            return jnp.sum(pk.fused_ln_mlp(*a, 1e-5, save_acts=save,
+                                           int8=True, int8_grad=True))
+        return f
+
+    ga = jax.grad(loss(False), argnums=tuple(range(7)))(*args)
+    gb = jax.grad(loss(True), argnums=tuple(range(7)))(*args)
+    for name, a, b_ in zip("x g be w1 b1 w2 b2".split(), ga, gb):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(b_ - a)))
+        assert err < 0.08 * scale, (name, err, scale)
+
+
+def test_ln_mlp_int8_save_int8_dw():
+    """int8 save-acts with the int8 dW tier on: weight grads within a
+    quantization band of the bf16-dW save variant."""
+    args = _mlp_args(jax.random.PRNGKey(19), b=2, s=64, d=128, m=256)
+
+    def loss(int8_dw):
+        def f(*a):
+            return jnp.sum(pk.fused_ln_mlp(*a, 1e-5, save_acts=True,
+                                           int8=True, int8_grad=True,
+                                           int8_dw=int8_dw))
         return f
 
     ga = jax.grad(loss(False), argnums=(3, 5))(*args)

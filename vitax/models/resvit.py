@@ -331,7 +331,7 @@ def _fused_attention_half(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
         p["attention_norm"]["bias"].astype(jnp.float32), wqkv, bqkv,
         ap["wo"]["kernel"].astype(dt), ap["wo"]["bias"].astype(jnp.float32),
         cfg.norm_eps, s, cfg.n_heads, cfg.head_dim,
-        cfg.int8_attn, cfg.int8_attn_grad)[:, :s]
+        cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw)[:, :s]
     return out.astype(dt)
 
 

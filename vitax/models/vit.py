@@ -201,7 +201,7 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
             p["out"]["kernel"].astype(dt),
             p["out"]["bias"].astype(jnp.float32),
             mesh, LN_EPS, s, h, hd,
-            cfg.int8_attn, cfg.int8_attn_grad)[:, :s]
+            cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw)[:, :s]
         return out.astype(dt)
 
     wq = p["query"]["kernel"].astype(dt).reshape(d, h * hd)
@@ -222,7 +222,8 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
     out = pk.fused_ln_qkvo_attention(
         xp, lp["ln1"]["scale"].astype(jnp.float32),
         lp["ln1"]["bias"].astype(jnp.float32), wqkv, bqkv, wo, bo,
-        LN_EPS, s, h, hd, cfg.int8_attn, cfg.int8_attn_grad)[:, :s]
+        LN_EPS, s, h, hd, cfg.int8_attn, cfg.int8_attn_grad,
+        cfg.int8_dw)[:, :s]
     return out.astype(dt)
 
 

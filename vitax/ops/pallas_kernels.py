@@ -554,10 +554,14 @@ def _ln_mlp_fwd_save_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
 
 def _quant_rows(x32, limit=127.0):
     """Symmetric per-row int8 quantization: returns (int8 values, fp32
-    per-row scale s) with x ≈ q * s."""
-    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    s = jnp.maximum(amax, 1e-12) / limit
-    q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+    per-row scale s) with x ≈ q * s. Divide-free inner loop: one divide
+    per ROW for the reciprocal scale, then a broadcast multiply (VPU divides
+    are ~10x a FMA; the elementwise x/s form showed up in the kernel
+    profile)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-12)
+    s = amax * (1.0 / limit)
+    r = limit / amax
+    q = jnp.clip(jnp.round(x32 * r), -127.0, 127.0).astype(jnp.int8)
     return q, s
 
 
@@ -602,6 +606,167 @@ def _ln_mlp_fwd_int8_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
             o_ref[sl, :] = y.astype(x_ref.dtype)
 
 
+# |GELU'(a)| is globally bounded by ~1.129 (max of phi + a*pdf at a~1.5),
+# so g' quantizes with a STATIC per-tensor scale — no amax pass, no scale
+# tensor to save (the int8 save-acts backward relies on this).
+_GP_AMAX = 1.13
+_GP_QSCALE = 127.0 / _GP_AMAX
+_GP_DEQUANT = _GP_AMAX / 127.0
+
+
+def _ln_mlp_fwd_int8_save_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref,
+                                 b1_ref, w2q_ref, s2_ref, b2_ref,
+                                 o_ref, h1q_ref, sh_ref, gpq_ref, *, eps,
+                                 chunks, residual):
+    """int8 forward that ALSO persists the already-computed h1q (int8, per-
+    row scale sh) and GELU'(a1) statically quantized to int8 — so the
+    backward is pure int8 matmuls with no fc1 recompute and no
+    transcendentals, at 1/4 the HBM traffic of the bf16 save variant."""
+    rows = x_ref.shape[0] // chunks
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    s1 = s1_ref[:]
+    s2 = s2_ref[:]
+    b1f = b1_ref[:].astype(jnp.float32)
+    b2f = b2_ref[:].astype(jnp.float32)
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+
+    xqs = []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xhat = xc * jax.lax.rsqrt(var + eps)
+        xqs.append(_quant_rows(xhat * g32 + be32))
+    a1s = [jax.lax.dot_general(xq, w1q_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32
+                               ).astype(jnp.float32) * sx * s1 + b1f
+           for xq, sx in xqs]
+    h1qs = []
+    for sl, a1 in zip(sls, a1s):
+        h1q, sh = _quant_rows(_gelu_exact(a1))
+        h1q_ref[sl, :] = h1q
+        sh_ref[sl, :] = jnp.broadcast_to(sh, (sh.shape[0], sh_ref.shape[1]))
+        gpq_ref[sl, :] = jnp.clip(jnp.round(_gelu_grad(a1) * _GP_QSCALE),
+                                  -127.0, 127.0).astype(jnp.int8)
+        h1qs.append((h1q, sh))
+    for sl, (h1q, sh) in zip(sls, h1qs):
+        y = jax.lax.dot_general(h1q, w2q_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sh * s2 + b2f
+        if residual:
+            o_ref[sl, :] = x_ref[sl, :] + y.astype(x_ref.dtype)
+        else:
+            o_ref[sl, :] = y.astype(x_ref.dtype)
+
+
+def _ln_mlp_bwd_int8_save_kernel(x_ref, g_ref, be_ref,
+                                 w1q_ref, s1r_ref, w2q_ref, s2r_ref,
+                                 h1q_ref, sh_ref, gpq_ref, do_ref,
+                                 dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref,
+                                 dw2_ref, db2_ref, *, eps, residual, chunks,
+                                 int8_dw=False):
+    """Backward from SAVED int8 h1q/sh/gpq: no fc1 recompute, no GELU/erf.
+    dh1 = (do W2ᵀ)·g' with both factors dequantized on the fly; dW2 folds
+    h1's per-row scale into do (a D-wide multiply) so h1q feeds the dW2
+    matmul directly. Only the LN statistics are recomputed (D-wide VPU)."""
+    i = pl.program_id(0)
+    rows = x_ref.shape[0] // chunks
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    s1r = s1r_ref[:]
+    s2r = s2r_ref[:]
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+
+    xns, xhats, rstds = [], [], []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = xc * rstd
+        xns.append((xhat * g32 + be32).astype(x_ref.dtype))
+        xhats.append(xhat)
+        rstds.append(rstd)
+    # dh1f = do @ W2^T on the int8 MXU; g' dequant is one fused multiply
+    doqs = [_quant_rows(do_ref[sl, :].astype(jnp.float32)) for sl in sls]
+    dh1fs = [jax.lax.dot_general(doq, w2q_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32) * (sdo * _GP_DEQUANT)
+             * s2r
+             for doq, sdo in doqs]
+    dh1_32s = [dh1f * gpq_ref[sl, :].astype(jnp.float32)
+               for sl, dh1f in zip(sls, dh1fs)]
+    if int8_dw:
+        dw2_part = jnp.zeros((dw2_ref.shape[0], dw2_ref.shape[1]),
+                             jnp.float32)
+        dw1_part = jnp.zeros((dw1_ref.shape[0], dw1_ref.shape[1]),
+                             jnp.float32)
+        for sl, xn, dh1 in zip(sls, xns, dh1_32s):
+            # dW2 = h1qᵀ @ (sh·do): per-row h1 scale folded into do, then
+            # per-column int8 quant of the scaled do (Jetfire block style)
+            dos = sh_ref[sl, 0:1] * do_ref[sl, :].astype(jnp.float32)
+            doq2, sdo2 = _quant_cols(dos)
+            dw2_part = dw2_part + jax.lax.dot_general(
+                h1q_ref[sl, :], doq2, _AT_B, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * sdo2[0][None, :]
+            xnq, sxn = _quant_cols(xn.astype(jnp.float32))
+            dh1q2, sdh2 = _quant_cols(dh1)
+            dw1_part = dw1_part + jax.lax.dot_general(
+                xnq, dh1q2, _AT_B, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * sxn[0][:, None] * sdh2[0][None, :]
+    else:
+        dw2_part = sum(jax.lax.dot_general(
+            h1q_ref[sl, :].astype(x_ref.dtype),
+            (sh_ref[sl, 0:1] * do_ref[sl, :].astype(jnp.float32)
+             ).astype(x_ref.dtype),
+            _AT_B, preferred_element_type=jnp.float32) for sl in sls)
+        dw1_part = sum(jax.lax.dot_general(xn, dh1.astype(x_ref.dtype),
+                                           _AT_B,
+                                           preferred_element_type=jnp.float32)
+                       for xn, dh1 in zip(xns, dh1_32s))
+    db2_part = jnp.sum(do_ref[:].astype(jnp.float32), axis=0)
+    db1_part = sum(jnp.sum(d, axis=0) for d in dh1_32s)
+    dh1qs = [_quant_rows(d) for d in dh1_32s]
+    dxns = [jax.lax.dot_general(dq, w1q_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sd * s1r
+            for dq, sd in dh1qs]
+    dg_part = jnp.zeros_like(g32)
+    dbe_part = jnp.zeros_like(g32)
+    for sl, dxn, xhat, rstd in zip(sls, dxns, xhats, rstds):
+        dyg = dxn * g32
+        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+        dxln = rstd * (dyg - m1 - xhat * m2)
+        if residual:
+            dx_ref[sl, :] = do_ref[sl, :] + dxln.astype(dx_ref.dtype)
+        else:
+            dx_ref[sl, :] = dxln.astype(dx_ref.dtype)
+        dg_part = dg_part + jnp.sum(dxn * xhat, axis=0)
+        dbe_part = dbe_part + jnp.sum(dxn, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw1_ref[:] = dw1_part
+        db1_ref[:] = db1_part
+        dw2_ref[:] = dw2_part
+        db2_ref[:] = db2_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw1_ref[:] = dw1_ref[:] + dw1_part
+        db1_ref[:] = db1_ref[:] + db1_part
+        dw2_ref[:] = dw2_ref[:] + dw2_part
+        db2_ref[:] = db2_ref[:] + db2_part
+
+
 def _quant_cols_host(w):
     """Per-output-column symmetric int8 for a [K, N] weight (runs in XLA
     once per step, outside the kernel)."""
@@ -622,10 +787,12 @@ def _quant_rows_host(w):
 
 
 def _quant_cols(x32, limit=127.0):
-    """Symmetric per-column int8 (over the row/contraction axis)."""
-    amax = jnp.max(jnp.abs(x32), axis=0, keepdims=True)
-    s = jnp.maximum(amax, 1e-12) / limit
-    q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+    """Symmetric per-column int8 (over the row/contraction axis).
+    Divide-free: one divide per column, broadcast multiply elsewhere."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=0, keepdims=True), 1e-12)
+    s = amax * (1.0 / limit)
+    r = limit / amax
+    q = jnp.clip(jnp.round(x32 * r), -127.0, 127.0).astype(jnp.int8)
     return q, s
 
 
@@ -1233,6 +1400,120 @@ def _ln_mlp_2d_save_bwd(eps, residual, res, do2):
 _ln_mlp_2d_save.defvjp(_ln_mlp_2d_save_fwd, _ln_mlp_2d_save_bwd)
 
 
+# -- int8 save-acts: persist h1q/sh/g'q in the int8 fwd, pure-int8-matmul bwd
+
+def _ln_mlp_fwd_int8_save_call(x2, gamma, beta, w1, b1, w2, b2, eps,
+                               residual):
+    n, d = x2.shape
+    m = w1.shape[1]
+    w1q, s1 = _quant_cols_host(w1)
+    w2q, s2 = _quant_cols_host(w2)
+    rows, chunks = _ln_mlp_fwd_geometry(n)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    mid_blk = pl.BlockSpec((rows, m), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    sh_blk = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_fwd_int8_save_kernel, eps=eps,
+                          chunks=chunks, residual=residual),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d),
+                  pl.BlockSpec((d, m), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(m), vec(m),
+                  pl.BlockSpec((m, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d), vec(d)],
+        out_specs=(row_blk, mid_blk, sh_blk, mid_blk),
+        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((n, m), jnp.int8),
+                   jax.ShapeDtypeStruct((n, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n, m), jnp.int8)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * m, transcendentals=2 * n * m,
+            bytes_accessed=2 * n * d * x2.dtype.itemsize + 2 * n * m
+            + 2 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1q, s1, b1, w2q, s2, b2)
+
+
+def _ln_mlp_bwd_int8_save_call(x2, gamma, beta, w1, w2, h1q, sh, gpq, do2,
+                               eps, residual, int8_dw=False):
+    n, d = x2.shape
+    m = w1.shape[1]
+    w1q, s1r = _quant_rows_host(w1)   # contracted over M in dxn
+    w2q, s2r = _quant_rows_host(w2)   # contracted over D in dh1
+    rows = _ln_mlp_rows(n)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    mid_blk = pl.BlockSpec((rows, m), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    sh_blk = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_int8_save_kernel, eps=eps,
+                          residual=residual, chunks=_bwd_chunks(rows),
+                          int8_dw=int8_dw),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d),
+                  mat(d, m), vec(d), mat(m, d), vec(m),
+                  mid_blk, sh_blk, mid_blk, row_blk],
+        out_specs=(row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
+                   vec(d)),
+        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d, m), jnp.float32),
+                   jax.ShapeDtypeStruct((m,), jnp.float32),
+                   jax.ShapeDtypeStruct((m, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * d * m, transcendentals=0,
+            bytes_accessed=3 * n * d * x2.dtype.itemsize + 2 * n * m
+            + 10 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1q, s1r, w2q, s2r, h1q, sh, gpq, do2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _ln_mlp_2d_int8s(x2, gamma, beta, w1, b1, w2, b2, eps, residual,
+                     int8_dw=False):
+    out, _, _, _ = _ln_mlp_fwd_int8_save_call(x2, gamma, beta, w1, b1, w2,
+                                              b2, eps, residual)
+    return out
+
+
+def _ln_mlp_2d_int8s_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual,
+                         int8_dw=False):
+    out, h1q, sh, gpq = _ln_mlp_fwd_int8_save_call(x2, gamma, beta, w1, b1,
+                                                   w2, b2, eps, residual)
+    from jax.ad_checkpoint import checkpoint_name
+    h1q = checkpoint_name(h1q, "mlp_h1")
+    sh = checkpoint_name(sh, "mlp_sh")
+    gpq = checkpoint_name(gpq, "mlp_gp")
+    return out, (x2, gamma, beta, w1, b1, w2, h1q, sh, gpq)
+
+
+def _ln_mlp_2d_int8s_bwd(eps, residual, int8_dw, res, do2):
+    x2, gamma, beta, w1, b1, w2, h1q, sh, gpq = res
+    dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_int8_save_call(
+        x2, gamma, beta, w1, w2, h1q, sh, gpq, do2, eps, residual, int8_dw)
+    return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2)
+
+
+_ln_mlp_2d_int8s.defvjp(_ln_mlp_2d_int8s_fwd, _ln_mlp_2d_int8s_bwd)
+
+
 def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
                  save_acts=False, int8=False, int8_grad=False,
                  int8_dw=False):
@@ -1250,7 +1531,10 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
     npad = _ln_mlp_pad(n)
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
-    if int8 and int8_grad:
+    if int8 and int8_grad and save_acts:
+        out = _ln_mlp_2d_int8s(x2, gamma, beta, w1, b1, w2, b2, eps,
+                               residual, int8_dw)
+    elif int8 and int8_grad:
         out = _ln_mlp_2d_int8g(x2, gamma, beta, w1, b1, w2, b2, eps,
                                residual, int8_dw)
     else:
@@ -1973,12 +2257,15 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, w_ref, b_ref,
                              wo8r_ref, swor_ref, do_ref,
                              dx_ref, dg_ref, dbe_ref, dw_ref, db_ref,
                              dwo_ref, dbo_ref, *, eps, scale, seq_len,
-                             heads, head_dim, tile):
+                             heads, head_dim, tile, int8_dw=False):
     """int8 variant of the tiled backward: the qkv RECOMPUTE and both
     dL/dx-path projections (dattn = do Woᵀ, dxn = dqkv Wᵀ) run W8A8;
     dW/dWo matmuls and the attention-core grads stay bf16 (SwitchBack
     precision split). Needs the bf16 wo only through its row-quantized
-    form, so the dense wo ref is dropped; the dense w ref stays for dW."""
+    form, so the dense wo ref is dropped; the dense w ref stays for dW.
+    int8_dw=True additionally runs dW/dWo as Jetfire-style per-block int8
+    matmuls (per-column scales over the grid step's row block, int32
+    accumulation in-block, fp32 accumulation across blocks)."""
     i = pl.program_id(0)
     spq = x_ref.shape[1]
     d_model = x_ref.shape[2]
@@ -2013,14 +2300,22 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, w_ref, b_ref,
                                   preferred_element_type=jnp.int32
                                   ).astype(jnp.float32) * sdo * swor_ref[:]
     dattn = dattn32.astype(xn.dtype)
-    dwo_part = jax.lax.dot_general(attn, do_y, _AT_B,
-                                   preferred_element_type=jnp.float32)
+    if int8_dw:
+        attnq, sat = _quant_cols(attn.astype(jnp.float32))
+        doq2, sdo2 = _quant_cols(do_y.astype(jnp.float32))
+        dwo_part = jax.lax.dot_general(
+            attnq, doq2, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sat[0][:, None] * sdo2[0][None, :]
+    else:
+        dwo_part = jax.lax.dot_general(attn, do_y, _AT_B,
+                                       preferred_element_type=jnp.float32)
     dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
 
     dqkv = _attn_core_grads(qkv, ps, outs, dattn, ths, spq, hhd, head_dim,
                             scale, tile, heads, xn.dtype)
 
-    dqq, sdq = _quant_rows(dqkv.astype(jnp.float32))
+    dqkv32 = dqkv.astype(jnp.float32)
+    dqq, sdq = _quant_rows(dqkv32)
     dxn = jax.lax.dot_general(dqq, w8r_ref[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32
                               ).astype(jnp.float32) * sdq * swr_ref[:]
@@ -2032,9 +2327,16 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, w_ref, b_ref,
 
     dg_part = jnp.sum(dxn * xhat, axis=0)
     dbe_part = jnp.sum(dxn, axis=0)
-    dw_part = jax.lax.dot_general(xn, dqkv, _AT_B,
-                                  preferred_element_type=jnp.float32)
-    db_part = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+    if int8_dw:
+        xnq2, sxn2 = _quant_cols(xn32)
+        dqq2, sdq2 = _quant_cols(dqkv32)
+        dw_part = jax.lax.dot_general(
+            xnq2, dqq2, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sxn2[0][:, None] * sdq2[0][None, :]
+    else:
+        dw_part = jax.lax.dot_general(xn, dqkv, _AT_B,
+                                      preferred_element_type=jnp.float32)
+    db_part = jnp.sum(dqkv32, axis=0)
 
     @pl.when(i == 0)
     def _():
@@ -2055,14 +2357,15 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, w_ref, b_ref,
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
                             eps, seq_len, heads, head_dim, int8=False,
-                            int8_grad=False):
+                            int8_grad=False, int8_dw=False):
     """LN + QKV projection + attention core + out-projection in one kernel.
     Takes the PRE-LN block input x [B,SPQ,D] (pad rows zero-filled);
     backward emits dx through the LN and accumulates dγ/dβ/dW/db/dWo/dbo.
-    int8=True runs both projections W8A8 (bwd stays bf16 recompute)."""
+    int8=True runs both projections W8A8 (bwd stays bf16 recompute);
+    int8_dw adds Jetfire-style per-block int8 dW/dWo matmuls."""
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
@@ -2119,10 +2422,10 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
 
 def _fused_ln_qkvo_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
                        eps, seq_len, heads, head_dim, int8=False,
-                       int8_grad=False):
+                       int8_grad=False, int8_dw=False):
     out = fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
                                   eps, seq_len, heads, head_dim, int8,
-                                  int8_grad)
+                                  int8_grad, int8_dw)
     return out, (x, gamma, beta, wqkv, bqkv, wo)
 
 
@@ -2137,7 +2440,7 @@ def _qkvo_bwd_tile(b: int) -> int:
 
 
 def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
-                       res, do):
+                       int8_dw, res, do):
     x, gamma, beta, wqkv, bqkv, wo = res
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
@@ -2152,7 +2455,8 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
         dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
             functools.partial(_ln_qkvo_bwd_int8_kernel, eps=eps, scale=scale,
                               seq_len=seq_len, heads=heads,
-                              head_dim=head_dim, tile=tile),
+                              head_dim=head_dim, tile=tile,
+                              int8_dw=int8_dw),
             grid=(b // tile,),
             in_specs=[
                 pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
