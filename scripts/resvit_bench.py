@@ -29,6 +29,7 @@ def main():
     p.add_argument("--no-fused", action="store_true")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--int8-grad", action="store_true")
+    p.add_argument("--int8-dw", action="store_true")
     p.add_argument("--scan", type=str, default="off",
                    choices=["off", "restack", "stacked"],
                    help="off = unrolled loop; restack = scan with per-step "
@@ -55,14 +56,16 @@ def main():
         dynamic_reserve_initials=2, block_size=a.block_size,
         fused_qkv=not a.no_fused, fused_qkvo=not a.no_fused,
         fused_mlp=a.fused_mlp, remat=remat,
-        int8_attn=a.int8 or a.int8_grad, int8_attn_grad=a.int8_grad,
-        int8_mlp=a.fused_mlp and (a.int8 or a.int8_grad),
-        int8_mlp_grad=a.fused_mlp and a.int8_grad,
+        int8_attn=a.int8 or a.int8_grad or a.int8_dw,
+        int8_attn_grad=a.int8_grad or a.int8_dw,
+        int8_mlp=a.fused_mlp and (a.int8 or a.int8_grad or a.int8_dw),
+        int8_mlp_grad=a.fused_mlp and (a.int8_grad or a.int8_dw),
+        int8_dw=a.int8_dw,
         use_pallas=False)
     print(f"backend={jax.default_backend()} batch={a.batch} remat={remat} "
           f"fused={not a.no_fused} fused_mlp={a.fused_mlp} "
-          f"int8={a.int8 or a.int8_grad} int8_grad={a.int8_grad} "
-          f"scan={a.scan}", flush=True)
+          f"int8={cfg.int8_attn} int8_grad={cfg.int8_attn_grad} "
+          f"int8_dw={cfg.int8_dw} scan={a.scan}", flush=True)
 
     params = resvit.init_params(jax.random.PRNGKey(0), cfg)
     tx = make_adamw_for(cfg, params, cosine_with_warmup_lr(1e-4, 500, 15000),

@@ -39,11 +39,12 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--remat", type=str, nargs="?", const="full",
-                   default="selective", choices=["none", "full", "selective"],
-                   help="encoder-block rematerialization: 'selective' "
-                        "(default — keep attention outputs, recompute "
-                        "LN/MLP; the measured-best config), 'full', or "
-                        "'none'. Bare --remat means 'full' (back-compat)")
+                   default=None, choices=["none", "full", "selective"],
+                   help="encoder-block rematerialization (default: auto — "
+                        "'none' when both fused kernels are active, whose "
+                        "custom VJPs keep residuals tiny so replay is pure "
+                        "waste; 'selective' otherwise). Bare --remat means "
+                        "'full' (back-compat)")
     p.add_argument("--no-pallas", action="store_true",
                    help="disable fused Pallas kernels (pure-XLA ops)")
     p.add_argument("--n-model", type=int, default=1,
@@ -67,8 +68,14 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
                    help="SwitchBack int8 dL/dx-path backward matmuls "
                         "(implies --int8; the bench config)")
     p.add_argument("--int8-dw", action="store_true",
-                   help="Jetfire per-block int8 dW matmuls in the MLP "
-                        "backward (implies --int8-grad; deepest tier)")
+                   help="Jetfire per-block int8 dW matmuls in the MLP and "
+                        "attention backwards (implies --int8-grad; deepest "
+                        "tier)")
+    p.add_argument("--save-acts", action="store_true",
+                   help="persist GELU activations/derivative in the fused "
+                        "MLP forward (int8-quantized under --int8-grad) so "
+                        "the backward skips the fc1 recompute and all "
+                        "transcendentals")
     p.add_argument("--device-prep", action="store_true",
                    help="ship uint8 batches, normalize/flip on device "
                         "(4x less host->device bandwidth)")

@@ -143,6 +143,9 @@ class ResViTConfig:
     int8_mlp: bool = False
     int8_mlp_grad: bool = False
     int8_dw: bool = False
+    # persist (quantized) GELU activations/derivative in the fused MLP
+    # forward so the backward skips the fc1 recompute (see ViTConfig)
+    fused_mlp_save: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

@@ -363,7 +363,8 @@ def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
                 p["ffn_norm"]["bias"].astype(jnp.float32),
                 w1, p["feed_forward"]["fc1"]["bias"].astype(jnp.float32),
                 w2, p["feed_forward"]["fc2"]["bias"].astype(jnp.float32),
-                cfg.norm_eps, int8=cfg.int8_mlp,
+                cfg.norm_eps, save_acts=cfg.fused_mlp_save,
+                int8=cfg.int8_mlp,
                 int8_grad=cfg.int8_mlp_grad, int8_dw=cfg.int8_dw)
     return h + feed_forward(layer_norm(h, p["ffn_norm"]["scale"],
                                        p["ffn_norm"]["bias"], cfg.norm_eps,

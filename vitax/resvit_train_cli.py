@@ -107,6 +107,12 @@ def get_train_config(argv=None):
     p.add_argument("--int8-grad", action="store_true",
                    help="int8 dL/dx-path attention backward (implies --int8; "
                         "the measured-fastest res-vit config)")
+    p.add_argument("--int8-dw", action="store_true",
+                   help="Jetfire per-block int8 dW matmuls in the MLP and "
+                        "attention backwards (implies --int8-grad)")
+    p.add_argument("--save-acts", action="store_true",
+                   help="persist (quantized) GELU activations in the fused "
+                        "MLP forward; backward skips the fc1 recompute")
     p.add_argument("--remat", type=str, nargs="?", const="full",
                    default=None, choices=["none", "full", "selective"],
                    help="block rematerialization (default: none — measured "
@@ -135,7 +141,8 @@ def config_to_model_args(c) -> "resvit_arch_config":
     fused_qkv = getattr(c, "fused_qkv", None)
     if fused_qkv is None:
         fused_qkv = on_tpu
-    int8_grad = getattr(c, "int8_grad", False)
+    int8_dw = getattr(c, "int8_dw", False)
+    int8_grad = getattr(c, "int8_grad", False) or int8_dw
     int8 = getattr(c, "int8", False) or int8_grad
     fused_mlp = getattr(c, "fused_mlp", None)
     if fused_mlp is None:
@@ -172,7 +179,8 @@ def config_to_model_args(c) -> "resvit_arch_config":
         fused_qkvo=fused_qkv,
         fused_mlp=fused_mlp, remat=remat,
         int8_attn=int8, int8_attn_grad=int8_grad,
-        int8_mlp=int8, int8_mlp_grad=int8_grad,
+        int8_mlp=int8, int8_mlp_grad=int8_grad, int8_dw=int8_dw,
+        fused_mlp_save=getattr(c, "save_acts", False),
         use_pallas=False if c.no_pallas else None)
 
 

@@ -130,7 +130,14 @@ def model_config_from_cli(config):
     int8_dw = getattr(config, "int8_dw", False)
     int8_grad = getattr(config, "int8_grad", False) or int8_dw
     int8 = getattr(config, "int8", False) or int8_grad
-    remat = {"none": False, "full": True}.get(config.remat, config.remat)
+    remat = config.remat
+    if remat is None:
+        # auto: with both custom-VJP fused kernels the residuals are tiny
+        # and remat replay re-runs the MLP forward kernel per layer —
+        # measured no-remat 1174 vs selective 1094 img/s (int8 b192) and
+        # 1007 vs 946 (bf16); selective stays best for the XLA path
+        remat = "none" if (fused_qkv and fused_mlp) else "selective"
+    remat = {"none": False, "full": True}.get(remat, remat)
     return arch_config(config.model_arch, image_size=config.image_size,
                        num_classes=config.num_classes, dtype=dtype,
                        remat=remat, fused_qkv=fused_qkv,
@@ -138,6 +145,7 @@ def model_config_from_cli(config):
                        int8_mlp=int8, int8_attn=int8,
                        int8_mlp_grad=int8_grad, int8_attn_grad=int8_grad,
                        int8_dw=int8_dw,
+                       fused_mlp_save=getattr(config, "save_acts", False),
                        use_pallas=False if config.no_pallas else None)
 
 
