@@ -66,6 +66,7 @@ def main():
                     help="measure the bf16 fused config instead of int8")
     ap.add_argument("--remat", type=str, default="selective",
                     choices=["selective", "none", "full"])
+    ap.add_argument("--int8-dw", action="store_true")
     args = ap.parse_args()
     B = args.batch
     K = args.chain
@@ -83,7 +84,8 @@ def main():
                       dtype=jnp.bfloat16, use_pallas=False, fused_qkv=True,
                       fused_mlp=True, remat=remat,
                       int8_mlp=int8, int8_attn=int8,
-                      int8_mlp_grad=int8, int8_attn_grad=int8)
+                      int8_mlp_grad=int8, int8_attn_grad=int8,
+                      int8_dw=int8 and args.int8_dw)
     S, D, M, H, Hd = cfg.seq_len, cfg.emb_dim, cfg.mlp_dim, 12, 64
     SP = (S + 7) // 8 * 8
     N = B * S
@@ -158,13 +160,15 @@ def main():
     w2 = (jax.random.normal(key, (M, D)) * M ** -0.5).astype(dt)
     b2 = jnp.zeros((D,), jnp.float32)
 
+    dw = int8 and args.int8_dw
+
     def attn_apply(c, wqkv, bqkv, wo, bo):
         return pk.fused_ln_qkvo_attention(c, g, be, wqkv, bqkv, wo, bo,
-                                          1e-5, S, H, Hd, int8, int8)
+                                          1e-5, S, H, Hd, int8, int8, dw)
 
     def mlp_apply(c, w1, b1, w2, b2):
         return pk.fused_ln_mlp(c, g, be, w1, b1, w2, b2, 1e-5,
-                               int8=int8, int8_grad=int8)
+                               int8=int8, int8_grad=int8, int8_dw=dw)
 
     def chain(apply, *weights):
         def fwd_fn(x, *ws):

@@ -413,8 +413,19 @@ def layer_norm(x, scale, bias, eps):
 # =============================================================================
 
 import os as _os
-_MLP_BLOCK_ROWS = int(_os.environ.get("VITAX_MLP_ROWS", 256))
+# 0 = adaptive: 1024-row blocks for large-N INT8 programs (ViT b192:
+# 1288 vs 1221 img/s at 256 — int8 operands halve the per-block VMEM so
+# bigger blocks fit), 256 otherwise (bf16 b192: 1007 at 256 vs 951 at
+# 512; res-vit b96 int8: 890 at 256 vs 880 at 512). Set VITAX_MLP_ROWS
+# to pin a value.
+_MLP_BLOCK_ROWS = int(_os.environ.get("VITAX_MLP_ROWS", 0))
 _MLP_FWD_CHUNKS = int(_os.environ.get("VITAX_MLP_CHUNKS", 2))
+
+
+def _mlp_block_rows(n: int, int8: bool = False) -> int:
+    if _MLP_BLOCK_ROWS:
+        return _MLP_BLOCK_ROWS
+    return 1024 if (int8 and n >= 32768) else 256
 
 # XLA's default *scoped* VMEM budget for a custom call is only 16 MB —
 # far below the ~128 MB physically present (measured on-chip; the limit
@@ -1096,8 +1107,13 @@ def _ln_mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
         db2_ref[:] = db2_ref[:] + db2_part
 
 
-def _ln_mlp_rows(n: int) -> int:
-    return min(_MLP_BLOCK_ROWS, _round_up(n, 16))
+def _ln_mlp_rows(n: int, int8: bool = False) -> int:
+    r = min(_mlp_block_rows(n, int8), _round_up(n, 16))
+    # callers pass the padded n; halve until divisible for configs whose
+    # pad granularity differs from this path's block (mixed int8/bf16)
+    while r > 16 and n % r:
+        r //= 2
+    return r
 
 
 _MLP_BWD_CHUNKS = int(_os.environ.get("VITAX_MLP_BWD_CHUNKS", 2))
@@ -1110,21 +1126,26 @@ def _bwd_chunks(rows: int) -> int:
     return max(c, 1)
 
 
-def _ln_mlp_pad(n: int) -> int:
+def _ln_mlp_pad(n: int, int8: bool = False) -> int:
     """Padded row count: multiple of the bwd row block, and of the staged
-    fwd block (rows x chunks) whenever n is big enough to stage."""
-    if n < 2 * _MLP_BLOCK_ROWS:
-        return _round_up(n, 16) if n < _MLP_BLOCK_ROWS \
-            else _round_up(n, _MLP_BLOCK_ROWS)
-    npad = _round_up(n, _MLP_BLOCK_ROWS)
-    if npad % (_MLP_BLOCK_ROWS * _MLP_FWD_CHUNKS):
-        npad += _MLP_BLOCK_ROWS
+    fwd block (rows x chunks) whenever n is big enough to stage.
+
+    The adaptive block is computed from the RAW n; every padded count it
+    produces stays divisible by the block `_ln_mlp_rows` later derives
+    from the padded n (the 256-granular pads below the 32768 crossover
+    top out at exactly 32768, which is 1024-aligned)."""
+    block = _mlp_block_rows(n, int8)
+    if n < 2 * block:
+        return _round_up(n, 16) if n < block else _round_up(n, block)
+    npad = _round_up(n, block)
+    if npad % (block * _MLP_FWD_CHUNKS):
+        npad += block
     return npad
 
 
-def _ln_mlp_fwd_geometry(npad: int):
+def _ln_mlp_fwd_geometry(npad: int, int8: bool = False):
     """(block_rows, chunks) for the staged forward, given padded n."""
-    rows = _ln_mlp_rows(npad)
+    rows = _ln_mlp_rows(npad, int8)
     full = rows * _MLP_FWD_CHUNKS
     if npad % full == 0:
         return full, _MLP_FWD_CHUNKS
@@ -1291,7 +1312,7 @@ def _ln_mlp_fwd_int8_call(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
     m = w1.shape[1]
     w1q, s1 = _quant_cols_host(w1)
     w2q, s2 = _quant_cols_host(w2)
-    rows, chunks = _ln_mlp_fwd_geometry(n)
+    rows, chunks = _ln_mlp_fwd_geometry(n, int8=True)
     vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
     row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1349,7 +1370,7 @@ def _ln_mlp_bwd_int8_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
     w1q, s1r = _quant_rows_host(w1)   # contracted over M in dxn
     w2q, s2r = _quant_rows_host(w2)   # contracted over D in dh1
     w1c, s1c = _quant_cols_host(w1)   # fc1 recompute (over D)
-    rows = _ln_mlp_rows(n)
+    rows = _ln_mlp_rows(n, int8=True)
     vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
@@ -1445,7 +1466,7 @@ def _ln_mlp_fwd_int8_save_call(x2, gamma, beta, w1, b1, w2, b2, eps,
     m = w1.shape[1]
     w1q, s1 = _quant_cols_host(w1)
     w2q, s2 = _quant_cols_host(w2)
-    rows, chunks = _ln_mlp_fwd_geometry(n)
+    rows, chunks = _ln_mlp_fwd_geometry(n, int8=True)
     vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
     row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1484,7 +1505,7 @@ def _ln_mlp_bwd_int8_save_call(x2, gamma, beta, w1, w2, h1q, sh, gpq, do2,
     m = w1.shape[1]
     w1q, s1r = _quant_rows_host(w1)   # contracted over M in dxn
     w2q, s2r = _quant_rows_host(w2)   # contracted over D in dh1
-    rows = _ln_mlp_rows(n)
+    rows = _ln_mlp_rows(n, int8=True)
     vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
@@ -1565,7 +1586,7 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
     n = x2.shape[0]
-    npad = _ln_mlp_pad(n)
+    npad = _ln_mlp_pad(n, int8=int8 and int8_grad)
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
     if int8 and int8_grad and save_acts:
