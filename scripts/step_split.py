@@ -67,6 +67,8 @@ def main():
     ap.add_argument("--remat", type=str, default="selective",
                     choices=["selective", "none", "full"])
     ap.add_argument("--int8-dw", action="store_true")
+    ap.add_argument("--kernels-only", action="store_true",
+                    help="skip the whole-program phases (fast env-knob sweeps)")
     args = ap.parse_args()
     B = args.batch
     K = args.chain
@@ -93,58 +95,60 @@ def main():
     print(json.dumps({"config": {"batch": B, "int8": int8, "seq": S}}),
           flush=True)
 
-    params = vit.init_params(jax.random.PRNGKey(0), cfg)
-    tx = sgd_momentum(onecycle_lr(0.03, 15000, pct_start=1 / 30),
-                      momentum_schedule=onecycle_momentum(15000, 1 / 30))
-    state = create_train_state(params, tx, jax.random.PRNGKey(1))
     key = jax.random.PRNGKey(2)
-    images = jax.random.normal(key, (B, 224, 224, 3), jnp.bfloat16)
-    labels = jax.random.randint(jax.random.fold_in(key, 1), (B,), 0, 100)
+    if not args.kernels_only:
+        params = vit.init_params(jax.random.PRNGKey(0), cfg)
+        tx = sgd_momentum(onecycle_lr(0.03, 15000, pct_start=1 / 30),
+                          momentum_schedule=onecycle_momentum(15000, 1 / 30))
+        state = create_train_state(params, tx, jax.random.PRNGKey(1))
+        images = jax.random.normal(key, (B, 224, 224, 3), jnp.bfloat16)
+        labels = jax.random.randint(jax.random.fold_in(key, 1), (B,), 0, 100)
 
-    # ---- whole-program phases ----------------------------------------------
-    def loss_fn(params):
-        logits = vit.apply(params, images, cfg, train=True,
-                           rng=jax.random.PRNGKey(3))
-        return cross_entropy(logits, labels)
+        # ---- whole-program phases ----------------------------------------------
+        def loss_fn(params):
+            logits = vit.apply(params, images, cfg, train=True,
+                               rng=jax.random.PRNGKey(3))
+            return cross_entropy(logits, labels)
 
-    fwd = jax.jit(lambda p: loss_fn(p))
-    t_fwd = _timeit(fwd, state.params)
-    fb = jax.jit(lambda p: jax.grad(loss_fn)(p))
-    t_fb = _timeit(fb, state.params)
-    step = make_train_step(cfg, tx, donate=False)
-    t_step = _timeit(lambda s: step(s, images, labels)[1], state)
+        fwd = jax.jit(lambda p: loss_fn(p))
+        t_fwd = _timeit(fwd, state.params)
+        fb = jax.jit(lambda p: jax.grad(loss_fn)(p))
+        t_fb = _timeit(fb, state.params)
+        step = make_train_step(cfg, tx, donate=False)
+        t_step = _timeit(lambda s: step(s, images, labels)[1], state)
 
-    # matmul-floor synthesis per image (fwd): qkv 2NDD*3 + out 2NDD +
-    # mlp 4NDM + attn 4*B*H*SP^2*Hd; bwd adds dx-path + dW + recompute
-    gf = 1e9
-    f_attn_proj = (2 * N * D * 3 * D + 2 * N * D * D) / gf  # per layer GF
-    f_attn_core = 4 * B * H * SP * SP * Hd / gf
-    f_mlp = 4 * N * D * M / gf
-    rate_mm = TF_INT8_MM if int8 else TF_BF16_MM
-    rate_at = TF_INT8_ATTN if int8 else TF_BF16_ATTN
-    floor_fwd = L * ((f_attn_proj + f_mlp) / rate_mm + f_attn_core / rate_at)
-    # bwd (int8 config): dx-path int8 (= fwd proj FLOPs) + recompute
-    # (qkv int8 + fc1 int8) + dW bf16 (= fwd proj FLOPs) + attn grads
-    f_mlp_dx = 4 * N * D * M / gf
-    f_mlp_rec = 2 * N * D * M / gf
-    f_mlp_dw = 4 * N * D * M / gf
-    f_at_dx = (2 * N * D * 3 * D + 2 * N * D * D) / gf
-    f_at_rec = 2 * N * D * 3 * D / gf
-    f_at_dw = (2 * N * D * 3 * D + 2 * N * D * D) / gf
-    f_at_core = 3 * f_attn_core / gf * gf  # dQ,dK,dV + score recompute ~3x
-    floor_bwd = L * ((f_mlp_dx + f_mlp_rec + f_at_dx + f_at_rec) / rate_mm
-                     + (f_mlp_dw + f_at_dw) / TF_BF16_MM
-                     + f_at_core / rate_at)
-    # floors are in ms already: f [GF] / rate [TF/s] = ms
-    _emit("forward", t_fwd,
-          {"floor_ms": round(floor_fwd, 2),
-           "floor_pct": round(floor_fwd / (t_fwd * 1e3) * 100, 1)})
-    _emit("backward", t_fb - t_fwd,
-          {"floor_ms": round(floor_bwd, 2),
-           "floor_pct": round(floor_bwd / ((t_fb - t_fwd) * 1e3) * 100, 1)})
-    _emit("optimizer+embed+head", t_step - t_fb)
-    _emit("full_step", t_step,
-          {"img_per_sec": round(B / t_step, 1)})
+        # matmul-floor synthesis per image (fwd): qkv 2NDD*3 + out 2NDD +
+        # mlp 4NDM + attn 4*B*H*SP^2*Hd; bwd adds dx-path + dW + recompute
+        gf = 1e9
+        f_attn_proj = (2 * N * D * 3 * D + 2 * N * D * D) / gf  # per layer GF
+        f_attn_core = 4 * B * H * SP * SP * Hd / gf
+        f_mlp = 4 * N * D * M / gf
+        rate_mm = TF_INT8_MM if int8 else TF_BF16_MM
+        rate_at = TF_INT8_ATTN if int8 else TF_BF16_ATTN
+        floor_fwd = L * ((f_attn_proj + f_mlp) / rate_mm + f_attn_core / rate_at)
+        # bwd (int8 config): dx-path int8 (= fwd proj FLOPs) + recompute
+        # (qkv int8 + fc1 int8) + dW bf16 (= fwd proj FLOPs) + attn grads
+        f_mlp_dx = 4 * N * D * M / gf
+        f_mlp_rec = 2 * N * D * M / gf
+        f_mlp_dw = 4 * N * D * M / gf
+        f_at_dx = (2 * N * D * 3 * D + 2 * N * D * D) / gf
+        f_at_rec = 2 * N * D * 3 * D / gf
+        f_at_dw = (2 * N * D * 3 * D + 2 * N * D * D) / gf
+        f_at_core = 3 * f_attn_core / gf * gf  # dQ,dK,dV + score recompute ~3x
+        rate_dw = rate_mm if (int8 and args.int8_dw) else TF_BF16_MM
+        floor_bwd = L * ((f_mlp_dx + f_mlp_rec + f_at_dx + f_at_rec) / rate_mm
+                         + (f_mlp_dw + f_at_dw) / rate_dw
+                         + f_at_core / rate_at)
+        # floors are in ms already: f [GF] / rate [TF/s] = ms
+        _emit("forward", t_fwd,
+              {"floor_ms": round(floor_fwd, 2),
+               "floor_pct": round(floor_fwd / (t_fwd * 1e3) * 100, 1)})
+        _emit("backward", t_fb - t_fwd,
+              {"floor_ms": round(floor_bwd, 2),
+               "floor_pct": round(floor_bwd / ((t_fb - t_fwd) * 1e3) * 100, 1)})
+        _emit("optimizer+embed+head", t_step - t_fb)
+        _emit("full_step", t_step,
+              {"img_per_sec": round(B / t_step, 1)})
 
     # ---- per-kernel chains -------------------------------------------------
     dt = jnp.bfloat16
