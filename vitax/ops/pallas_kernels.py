@@ -747,12 +747,15 @@ def _ln_mlp_bwd_int8_save_kernel(x_ref, g_ref, be_ref,
              for doq, sdo in doqs]
     dh1_32s = [dh1f * gpq_ref[sl, :].astype(jnp.float32)
                for sl, dh1f in zip(sls, dh1fs)]
+    # per-row int8 dh1: consumed by the dxn matmul below AND (int8_dw)
+    # reused as the dW1 operand via row-scale folding
+    dh1qs = [_quant_rows(d) for d in dh1_32s]
     if int8_dw:
         dw2_part = jnp.zeros((dw2_ref.shape[0], dw2_ref.shape[1]),
                              jnp.float32)
         dw1_part = jnp.zeros((dw1_ref.shape[0], dw1_ref.shape[1]),
                              jnp.float32)
-        for sl, xn, dh1 in zip(sls, xns, dh1_32s):
+        for sl, xn, (dh1q, sdh) in zip(sls, xns, dh1qs):
             # dW2 = h1qᵀ @ (sh·do): per-row h1 scale folded into do, then
             # per-column int8 quant of the scaled do (Jetfire block style)
             dos = sh_ref[sl, 0:1] * do_ref[sl, :].astype(jnp.float32)
@@ -760,11 +763,13 @@ def _ln_mlp_bwd_int8_save_kernel(x_ref, g_ref, be_ref,
             dw2_part = dw2_part + jax.lax.dot_general(
                 h1q_ref[sl, :], doq2, _AT_B, preferred_element_type=jnp.int32
             ).astype(jnp.float32) * sdo2[0][None, :]
-            xnq, sxn = _quant_cols(xn.astype(jnp.float32))
-            dh1q2, sdh2 = _quant_cols(dh1)
+            # dW1 = (sdh·xn)ᵀ @ dh1q: reuse the per-row int8 dh1 from the
+            # dxn matmul, folding its row scales into xn (saves the fresh
+            # per-col quantization pass over dh1 [R,M])
+            xnq, sxn = _quant_cols(xn.astype(jnp.float32) * sdh)
             dw1_part = dw1_part + jax.lax.dot_general(
-                xnq, dh1q2, _AT_B, preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * sxn[0][:, None] * sdh2[0][None, :]
+                xnq, dh1q, _AT_B, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * sxn[0][:, None]
     else:
         dw2_part = sum(jax.lax.dot_general(
             h1q_ref[sl, :].astype(x_ref.dtype),
@@ -777,7 +782,6 @@ def _ln_mlp_bwd_int8_save_kernel(x_ref, g_ref, be_ref,
                        for xn, dh1 in zip(xns, dh1_32s))
     db2_part = jnp.sum(do_ref[:].astype(jnp.float32), axis=0)
     db1_part = sum(jnp.sum(d, axis=0) for d in dh1_32s)
-    dh1qs = [_quant_rows(d) for d in dh1_32s]
     dxns = [jax.lax.dot_general(dq, w1q_ref[:], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.int32
                                 ).astype(jnp.float32) * sd * s1r
@@ -892,25 +896,34 @@ def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, b1_ref,
     gps = [_gelu_grad_q(a1) for a1 in a1s]
     dh1_32s = [dh1f * gp for dh1f, gp in zip(dh1fs, gps)]
     dh1s = [d.astype(x_ref.dtype) for d in dh1_32s]
+    # per-row int8 dh1: consumed by the dxn matmul below AND (int8_dw)
+    # reused as the dW1 operand via row-scale folding
+    dh1qs = [_quant_rows(d) for d in dh1_32s]
     if int8_dw:
-        # Jetfire-style per-block int8 dW: per-COLUMN scales over the
-        # block's row (contraction) axis, int32 accumulation per block,
-        # fp32 accumulation across blocks
+        # Jetfire-style per-block int8 dW with ROW-SCALE FOLDING: the
+        # per-row int8 tensors for do (doqs, used by the dh1f matmul) and
+        # dh1 (dh1qs below, used by the dxn matmul) are REUSED as the dW
+        # matmul operands. Their per-row scales ride along the contraction
+        # (row) axis, so they can't factor out of the int8 matmul — instead
+        # they FOLD into the fp32 co-operand before ITS per-column
+        # quantization (dW2 = Σ_n h1[n,:]ᵀ·u_n·doq[n,:]); the product is
+        # exact up to the same 8-bit grids. This removes two fresh
+        # quantization passes per chunk (per-col do [R,D] and per-col dh1
+        # [R,M] — the [R,M] one was the single biggest VPU item in the
+        # dW path) at the cost of two broadcast multiplies.
         dw2_part = jnp.zeros((dw2_ref.shape[0], dw2_ref.shape[1]),
                              jnp.float32)
         dw1_part = jnp.zeros((dw1_ref.shape[0], dw1_ref.shape[1]),
                              jnp.float32)
-        for sl, h1, xn, dh1 in zip(sls, h1s, xns, dh1_32s):
-            h1q, sh = _quant_cols(h1.astype(jnp.float32))
-            doq2, sdo2 = _quant_cols(do_ref[sl, :].astype(jnp.float32))
+        for h1, xn, (doq, sdo), (dh1q, sdh) in zip(h1s, xns, doqs, dh1qs):
+            h1q, sh = _quant_cols(h1.astype(jnp.float32) * sdo)
             dw2_part = dw2_part + jax.lax.dot_general(
-                h1q, doq2, _AT_B, preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * sh[0][:, None] * sdo2[0][None, :]
-            xnq, sxn = _quant_cols(xn.astype(jnp.float32))
-            dh1q2, sdh2 = _quant_cols(dh1)
+                h1q, doq, _AT_B, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * sh[0][:, None]
+            xnq, sxn = _quant_cols(xn.astype(jnp.float32) * sdh)
             dw1_part = dw1_part + jax.lax.dot_general(
-                xnq, dh1q2, _AT_B, preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * sxn[0][:, None] * sdh2[0][None, :]
+                xnq, dh1q, _AT_B, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * sxn[0][:, None]
     else:
         dw2_part = sum(jax.lax.dot_general(h1, do_ref[sl, :], _AT_B,
                                            preferred_element_type=jnp.float32)
@@ -921,7 +934,6 @@ def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, b1_ref,
     db2_part = jnp.sum(do_ref[:].astype(jnp.float32), axis=0)
     db1_part = sum(jnp.sum(d, axis=0) for d in dh1_32s)
     # int8 dxn = dh1 @ W1^T: dh1 per-row, W1 per-row (contracted over M)
-    dh1qs = [_quant_rows(d) for d in dh1_32s]
     dxns = [jax.lax.dot_general(dq, w1q_ref[:], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.int32
                                 ).astype(jnp.float32) * sd * s1r
@@ -2359,11 +2371,14 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, w_ref, b_ref,
                                   ).astype(jnp.float32) * sdo * swor_ref[:]
     dattn = dattn32.astype(xn.dtype)
     if int8_dw:
-        attnq, sat = _quant_cols(attn.astype(jnp.float32))
-        doq2, sdo2 = _quant_cols(do_y.astype(jnp.float32))
+        # row-scale folding (see the MLP backward): reuse the per-row int8
+        # doq from the dattn matmul as the dWo operand, folding its row
+        # scales into attn before attn's per-column quantization — drops
+        # the fresh per-col quantization pass over do
+        attnq, sat = _quant_cols(attn.astype(jnp.float32) * sdo)
         dwo_part = jax.lax.dot_general(
-            attnq, doq2, _AT_B, preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * sat[0][:, None] * sdo2[0][None, :]
+            attnq, doq, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sat[0][:, None]
     else:
         dwo_part = jax.lax.dot_general(attn, do_y, _AT_B,
                                        preferred_element_type=jnp.float32)
@@ -2386,11 +2401,13 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, w_ref, b_ref,
     dg_part = jnp.sum(dxn * xhat, axis=0)
     dbe_part = jnp.sum(dxn, axis=0)
     if int8_dw:
-        xnq2, sxn2 = _quant_cols(xn32)
-        dqq2, sdq2 = _quant_cols(dqkv32)
+        # row-scale folding: reuse the per-row int8 dqq from the dxn
+        # matmul as the dW operand — drops the per-col quantization pass
+        # over dqkv [rows, 3·H·Hd], the biggest VPU item in this dW path
+        xnq2, sxn2 = _quant_cols(xn32 * sdq)
         dw_part = jax.lax.dot_general(
-            xnq2, dqq2, _AT_B, preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * sxn2[0][:, None] * sdq2[0][None, :]
+            xnq2, dqq, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sxn2[0][:, None]
     else:
         dw_part = jax.lax.dot_general(xn, dqkv, _AT_B,
                                       preferred_element_type=jnp.float32)
