@@ -159,6 +159,91 @@ def run_colstage(x2, g, be, w1q, s1, b1, w2q, s2, b2, K, rows, mcols):
     return t
 
 
+def _pipeline_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
+                     w2q_ref, s2_ref, b2_ref, o_ref, *, eps, chunks):
+    """Hand-interleaved software pipeline across row CHUNKS: program order
+    mm1(c) -> pack(c-1) -> mm2(c-1) puts every VPU pack chain directly
+    adjacent to an independent MXU matmul, so a scheduler that issues
+    in-order with unit lookahead can still overlap them. (The staged
+    variants group all-mm1s / all-packs / all-mm2s, which needs long-range
+    reordering to overlap.)"""
+    rows = x_ref.shape[0] // chunks
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    s1 = s1_ref[:]
+    s2 = s2_ref[:]
+    b1f = b1_ref[:].astype(jnp.float32)
+    b2f = b2_ref[:].astype(jnp.float32)
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+
+    xqs = []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xhat = xc * jax.lax.rsqrt(var + eps)
+        xqs.append(pk._quant_rows(xhat * g32 + be32))
+
+    def mm1(c):
+        xq, sx = xqs[c]
+        return jax.lax.dot_general(xq, w1q_ref[:], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32
+                                   ).astype(jnp.float32) * sx * s1 + b1f
+
+    def pack(a1):
+        return pk._quant_rows(pk._gelu_q(a1))
+
+    def mm2(c, h1q, sh):
+        y = jax.lax.dot_general(h1q, w2q_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sh * s2 + b2f
+        o_ref[sls[c], :] = x_ref[sls[c], :] + y.astype(x_ref.dtype)
+
+    prev_a1 = mm1(0)
+    for c in range(1, chunks):
+        a1 = mm1(c)               # MXU
+        h1q, sh = pack(prev_a1)   # VPU, independent of a1 -> overlap
+        mm2(c - 1, h1q, sh)       # MXU
+        prev_a1 = a1
+    h1q, sh = pack(prev_a1)
+    mm2(chunks - 1, h1q, sh)
+
+
+def run_pipeline(x2, g, be, w1q, s1, b1, w2q, s2, b2, K, rows, chunks):
+    n, d = x2.shape
+    m = w1q.shape[1]
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_pipeline_kernel, eps=1e-5, chunks=chunks),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d),
+                  pl.BlockSpec((d, m), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(m), vec(m),
+                  pl.BlockSpec((m, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d), vec(d)],
+        out_specs=row_blk,
+        out_shape=jax.ShapeDtypeStruct((n, d), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def chained(x2, w1q, s1, w2q, s2):
+        def body(c, _):
+            return call(c, g, be, w1q, s1, b1, w2q, s2, b2), ()
+        out, _ = jax.lax.scan(body, x2, None, length=K)
+        return out
+
+    t = _timeit(jax.jit(chained), x2, w1q, s1, w2q, s2) / K
+    print(json.dumps({"variant": f"pipeline rows={rows} chunks={chunks}",
+                      "ms_per_layer": round(t * 1e3, 3)}), flush=True)
+    return t
+
+
 def _pure_mm_kernel(xq_ref, h1q_ref, w1q_ref, w2q_ref, o_ref, *, chunks):
     """Both matmul operands arrive ALREADY int8 — no in-kernel packing.
     Isolates the true in-kernel int8 MXU rate from the fp32->int8 pack."""
@@ -284,6 +369,9 @@ def main():
     for rows, mcols in ((1024, 4), (1024, 8), (2048, 4), (512, 4)):
         run_colstage(x2, g, be, w1q, s1, b1, w2q, s2, b2, args.chain,
                      rows, mcols)
+    for rows, chunks in ((2048, 4), (2048, 8), (1024, 4), (2048, 2)):
+        run_pipeline(x2, g, be, w1q, s1, b1, w2q, s2, b2, args.chain,
+                     rows, chunks)
 
 
 if __name__ == "__main__":
