@@ -95,6 +95,61 @@ def test_cifar10_reader(tmp_path):
     assert xv.shape == (6, 32, 32, 3)
 
 
+def test_cifar_download_path(tmp_path, monkeypatch):
+    """_maybe_extract fetches+md5-checks+extracts a missing archive (the
+    reference passes download=True, src/data_loaders.py:50,82); pre-placed
+    data never triggers a fetch; a failed fetch raises an actionable error."""
+    import hashlib
+    import io
+    import pickle
+    import tarfile
+    import urllib.request
+
+    # build an in-memory cifar-10 tar.gz
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        payload = pickle.dumps(
+            {"data": np.zeros((2, 3072), np.uint8).tolist(),
+             "labels": [0, 1]})
+        for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+            info = tarfile.TarInfo(f"cifar-10-batches-py/{name}")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    blob = buf.getvalue()
+    md5 = hashlib.md5(blob).hexdigest()
+    monkeypatch.setitem(D._CIFAR_URLS, "cifar-10-python.tar.gz",
+                        ("https://example.invalid/c10.tar.gz", md5))
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    calls = []
+
+    def fake_urlopen(url, timeout=None):
+        calls.append(url)
+        return _Resp(blob)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    x, y, ncls = D.load_cifar10(str(tmp_path / "dl"), "train")
+    assert x.shape == (10, 32, 32, 3) and ncls == 10 and len(calls) == 1
+
+    # second load: extracted dir present -> no fetch
+    D.load_cifar10(str(tmp_path / "dl"), "val")
+    assert len(calls) == 1
+
+    # zero-egress behavior: fetch failure -> actionable FileNotFoundError
+    def failing_urlopen(url, timeout=None):
+        raise OSError("network unreachable")
+
+    monkeypatch.setattr(urllib.request, "urlopen", failing_urlopen)
+    with pytest.raises(FileNotFoundError, match="pre-place"):
+        D.load_cifar10(str(tmp_path / "nodata"), "train")
+
+
 def test_imagefolder_reader(tmp_path):
     from PIL import Image
     for split in ("train", "val"):

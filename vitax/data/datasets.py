@@ -4,9 +4,12 @@ Capability parity with the reference's loaders (src/data_loaders.py,
 res-vit/data_loaders.py):
 
   * CIFAR-10 / CIFAR-100 — read the standard python pickle batches directly
-    (the format torchvision's `CIFAR10(download=True)` unpacks). No network
-    access is attempted: `data_dir` must contain `cifar-10-batches-py/` or
-    `cifar-100-python/` (or the .tar.gz, which is extracted in place).
+    (the format torchvision's `CIFAR10(download=True)` unpacks). Like the
+    reference (src/data_loaders.py:50,82 passes `download=True`), a missing
+    archive is fetched from the canonical URL and md5-checked; when
+    `data_dir` already contains `cifar-10-batches-py/` / `cifar-100-python/`
+    (or the .tar.gz, extracted in place) no network access is attempted, so
+    zero-egress environments with pre-placed data work unchanged.
   * ImageNet — `ImageFolder` semantics: `{split}/{class_name}/*.JPEG`, classes
     sorted alphabetically (src/data_loaders.py:100-113).
   * TinyImageNet — `{split}/{class}/images/*.{png,jpg,jpeg}` walk
@@ -32,9 +35,55 @@ IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".ppm", ".bmp", ".webp", ".JPEG",
                   ".PNG", ".JPG")
 
 
-def _maybe_extract(data_dir: str, tarname: str, marker: str) -> None:
+# Canonical torchvision sources (torchvision/datasets/cifar.py)
+_CIFAR_URLS = {
+    "cifar-10-python.tar.gz": (
+        "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+        "c58f30108f718f92721af3b95e74349a"),
+    "cifar-100-python.tar.gz": (
+        "https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",
+        "eb9058c3a382ffc7106e4002c42a8d85"),
+}
+
+
+def _download(url: str, dest: str, md5: str) -> None:
+    import hashlib
+    import urllib.request
+    tmp = dest + ".part"
+    try:
+        with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+    except Exception as e:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise FileNotFoundError(
+            f"dataset archive missing and download from {url} failed ({e}); "
+            f"pre-place the archive or extracted directory under "
+            f"{os.path.dirname(dest)}") from e
+    h = hashlib.md5()
+    with open(tmp, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    if h.hexdigest() != md5:
+        os.remove(tmp)
+        raise IOError(f"md5 mismatch for {url}: got {h.hexdigest()}")
+    os.replace(tmp, dest)
+
+
+def _maybe_extract(data_dir: str, tarname: str, marker: str,
+                   download: bool = True) -> None:
+    if os.path.isdir(os.path.join(data_dir, marker)):
+        return
     tar_path = os.path.join(data_dir, tarname)
-    if not os.path.isdir(os.path.join(data_dir, marker)) and os.path.isfile(tar_path):
+    if not os.path.isfile(tar_path) and download and tarname in _CIFAR_URLS:
+        os.makedirs(data_dir, exist_ok=True)
+        url, md5 = _CIFAR_URLS[tarname]
+        _download(url, tar_path, md5)
+    if os.path.isfile(tar_path):
         with tarfile.open(tar_path, "r:gz") as tf:
             tf.extractall(data_dir)
 

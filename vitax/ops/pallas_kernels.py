@@ -446,8 +446,15 @@ def ln_mlp_supported(x, w1, w2) -> bool:
     m = w1.shape[1]
     if w1.shape[0] != d or w2.shape != (m, d):
         return False
+    # d=1280 (h14) genuinely exceeds the 128 MiB physical VMEM in the MLP
+    # backward (fp32 dW accumulators ≈50 MB + Mosaic register spills,
+    # captured error in PERF.md) — same gate/knob pattern as
+    # qkv_attention_supported so h14 experiments can re-open it.
+    max_d = int(_os.environ.get("VITAX_MLP_MAX_D", "1024"))
+    if d > max_d:
+        return False
     # weights (bf16) + both fp32 accumulators resident: 12·d·m bytes;
-    # keep ≲ 96 MB of the ~128 MB VMEM (h14: d=1280, m=5120 → 79 MB, ok)
+    # keep ≲ 96 MB of the ~128 MB VMEM
     return d % 128 == 0 and m % 128 == 0 and 12 * d * m <= 96 * 1024 * 1024
 
 
@@ -2333,7 +2340,7 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
 
-def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, w_ref, b_ref,
+def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
                              w8_ref, sw_ref, w8r_ref, swr_ref,
                              wo8r_ref, swor_ref, do_ref,
                              dx_ref, dg_ref, dbe_ref, dw_ref, db_ref,
@@ -2341,9 +2348,10 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, w_ref, b_ref,
                              heads, head_dim, tile, int8_dw=False):
     """int8 variant of the tiled backward: the qkv RECOMPUTE and both
     dL/dx-path projections (dattn = do Woᵀ, dxn = dqkv Wᵀ) run W8A8;
-    dW/dWo matmuls and the attention-core grads stay bf16 (SwitchBack
-    precision split). Needs the bf16 wo only through its row-quantized
-    form, so the dense wo ref is dropped; the dense w ref stays for dW.
+    the attention-core grads stay bf16 (SwitchBack precision split).
+    Dense wqkv/wo are never read (dW uses xn·dqkv directly, the bf16
+    branch included), so only the quantized weight forms are passed —
+    the dense refs would be ~3.5 MB of dead VMEM residency per grid step.
     int8_dw=True additionally runs dW/dWo as Jetfire-style per-block int8
     matmuls (per-column scales over the grid step's row block, int32
     accumulation in-block, fp32 accumulation across blocks)."""
@@ -2548,8 +2556,6 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
                 pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 vec(d), vec(d),
-                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
                 vec(3 * hhd),
                 pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -2583,7 +2589,7 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
                        jax.ShapeDtypeStruct((d,), jnp.float32)),
             interpret=_INTERPRET,
             **_VMEM_LIMIT,
-        )(x, gamma, beta, wqkv, bqkv, w8, sw, w8r, swr, wo8r, swor, do)
+        )(x, gamma, beta, bqkv, w8, sw, w8r, swr, wo8r, swor, do)
         return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
                 dw.astype(wqkv.dtype), db.astype(bqkv.dtype),
                 dwo.astype(wo.dtype), dbo)
