@@ -1,0 +1,71 @@
+"""Quick A/B bench: ONE config (the bench primary), fewer steps.
+
+For env-knob sweeps (VITAX_INT8_SR, VITAX_INT8_SIGMOID_GELU, geometry
+knobs) without bench.py's full ladder + bf16 secondary. Prints one JSON
+line. Run ON the TPU:
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/quick_bench.py [--batch 192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=192)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--no-int8-dw", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
+    from vitax.core.config import arch_config
+    from vitax.models import vit
+    from vitax.train import (create_train_state, make_train_step,
+                             onecycle_lr, onecycle_momentum, sgd_momentum)
+
+    kw = dict(fused_qkv=True, fused_mlp=True, remat=False)
+    if not args.bf16:
+        kw.update(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
+                  int8_attn_grad=True, int8_dw=not args.no_int8_dw)
+    cfg = arch_config("b16", image_size=224, num_classes=100,
+                      dtype=jnp.bfloat16, use_pallas=False, **kw)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    total_steps = 15000
+    tx = sgd_momentum(
+        onecycle_lr(0.03, total_steps, pct_start=500 / total_steps),
+        momentum_schedule=onecycle_momentum(total_steps,
+                                            pct_start=500 / total_steps))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    images = jax.random.normal(key, (args.batch, 224, 224, 3), jnp.bfloat16)
+    labels = jax.random.randint(jax.random.fold_in(key, 1),
+                                (args.batch,), 0, 100)
+    train_step = make_train_step(cfg, tx, donate=True)
+    for _ in range(args.warmup):
+        state, metrics = train_step(state, images, labels)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = train_step(state, images, labels)
+    loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "img_per_sec": round(args.batch * args.steps / dt, 1),
+        "ms_per_step": round(dt / args.steps * 1e3, 2),
+        "loss": round(loss, 4),
+        "batch": args.batch,
+        "env": {k: v for k, v in os.environ.items()
+                if k.startswith("VITAX_")},
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

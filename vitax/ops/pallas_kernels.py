@@ -509,10 +509,28 @@ def _erf8(x):
     return cx * _poly(t, _ERF_P8)
 
 
+# Optional sigmoid-GELU for the int8 tier: x·σ(1.702x) (Hendrycks+Gimpel's
+# sigmoid approximation; |err| ≤ 2.0e-2 vs exact ≈ the erf8 band and well
+# under the per-row int8 step). One hw exp + recip replaces the 8-FMA erf
+# poly, and σ is shared between value and grad in the backward. A/B knob —
+# measure before defaulting.
+_INT8_SIGMOID_GELU = _os.environ.get("VITAX_INT8_SIGMOID_GELU", "0") == "1"
+
+
+def _sigmoid_1702(a):
+    # divide-free: 1/u = rsqrt(u)² (hw rsqrt; rel err ~2^-11 after squaring,
+    # 3 orders below the 2e-2 sigmoid-GELU approximation band)
+    u = 1.0 + jnp.exp(a * -1.702)
+    r = jax.lax.rsqrt(u)
+    return r * r
+
+
 def _gelu_q(a):
     """GELU for the int8 (non-parity) kernels: reduced-degree erf."""
     if not _INT8_FAST_GELU:
         return _gelu_exact(a)
+    if _INT8_SIGMOID_GELU:
+        return a * _sigmoid_1702(a)
     return 0.5 * a * (1.0 + _erf8(a * (2.0 ** -0.5)))
 
 
@@ -520,6 +538,10 @@ def _gelu_grad_q(a):
     """GELU' for the int8 kernels: reduced-degree erf + hw exp."""
     if not _INT8_FAST_GELU:
         return _gelu_grad(a)
+    if _INT8_SIGMOID_GELU:
+        # d/da a·σ(ka) = σ(ka)·(1 + ka·(1-σ(ka))); σ CSEs with _gelu_q's
+        s = _sigmoid_1702(a)
+        return s * (1.0 + 1.702 * a * (1.0 - s))
     phi = 0.5 * (1.0 + _erf8(a * (2.0 ** -0.5)))
     pdf = jnp.exp(-0.5 * a * a) * (1.0 / math.sqrt(2.0 * math.pi))
     return phi + a * pdf
@@ -607,6 +629,25 @@ def _ln_mlp_fwd_save_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
             o_ref[sl, :] = y.astype(x_ref.dtype)
 
 
+# Hardware round+saturate+convert pack: pltpu.stochastic_round with a
+# CONSTANT half-ulp bits operand is a deterministic round-half-up straight
+# to int8 — one macro-op replacing the round/clip/convert chain that the
+# fwd/bwd dissections measured serializing against the MXU. Interp mode has
+# no lowering for it (tests run the classic pack); env knob VITAX_INT8_SR=1
+# enables it (default off until validated+measured on-chip — flip the
+# default once scripts/pack_probe.py numbers land).
+_INT8_SR = _os.environ.get("VITAX_INT8_SR", "0") == "1"
+_SR_HALF = jnp.uint32(1 << 31)
+
+
+def _pack_i8(r):
+    """fp32 (already scaled to ±127) -> int8, round to nearest."""
+    if _INT8_SR and not _INTERPRET:
+        bits = jnp.full(r.shape, _SR_HALF, jnp.uint32)
+        return pltpu.stochastic_round(r, bits, target_dtype=jnp.int8)
+    return jnp.clip(jnp.round(r), -127.0, 127.0).astype(jnp.int8)
+
+
 def _quant_rows(x32, limit=127.0):
     """Symmetric per-row int8 quantization: returns (int8 values, fp32
     per-row scale s) with x ≈ q * s. Divide-free inner loop: one divide
@@ -616,7 +657,7 @@ def _quant_rows(x32, limit=127.0):
     amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-12)
     s = amax * (1.0 / limit)
     r = limit / amax
-    q = jnp.clip(jnp.round(x32 * r), -127.0, 127.0).astype(jnp.int8)
+    q = _pack_i8(x32 * r)
     return q, s
 
 
@@ -703,8 +744,7 @@ def _ln_mlp_fwd_int8_save_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref,
         h1q, sh = _quant_rows(_gelu_q(a1))
         h1q_ref[sl, :] = h1q
         sh_ref[sl, :] = jnp.broadcast_to(sh, (sh.shape[0], sh_ref.shape[1]))
-        gpq_ref[sl, :] = jnp.clip(jnp.round(_gelu_grad_q(a1) * _GP_QSCALE),
-                                  -127.0, 127.0).astype(jnp.int8)
+        gpq_ref[sl, :] = _pack_i8(_gelu_grad_q(a1) * _GP_QSCALE)
         h1qs.append((h1q, sh))
     for sl, (h1q, sh) in zip(sls, h1qs):
         y = jax.lax.dot_general(h1q, w2q_ref[:], (((1,), (0,)), ((), ())),
@@ -851,7 +891,7 @@ def _quant_cols(x32, limit=127.0):
     amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=0, keepdims=True), 1e-12)
     s = amax * (1.0 / limit)
     r = limit / amax
-    q = jnp.clip(jnp.round(x32 * r), -127.0, 127.0).astype(jnp.int8)
+    q = _pack_i8(x32 * r)
     return q, s
 
 
