@@ -209,3 +209,42 @@ def test_emitter_randomized_nesting_roundtrip(tmp_path):
         assert_same(obj, via_torch, f"trial{trial}/torch")
         via_ours = load_pth(str(p))
         assert_same(obj, via_ours, f"trial{trial}/ours")
+
+
+# -- pre-torch-0.4 tar container ----------------------------------------------
+
+def test_torch_reads_our_tar(tmp_path):
+    """torch.load still READS the ancient tar container (torch can no longer
+    write it) — validates the emitter against the real consumer."""
+    from vitax.checkpointing.pth import save_pth_tar
+    sd = _rand_state_dict()
+    p = tmp_path / "legacy_tar.pth"
+    save_pth_tar(sd, str(p))
+    loaded = torch.load(str(p), weights_only=False)
+    assert set(loaded.keys()) == set(sd.keys())
+    for k, v in sd.items():
+        np.testing.assert_array_equal(loaded[k].numpy(), v)
+
+
+def test_tar_roundtrip_without_torch(tmp_path):
+    from vitax.checkpointing.pth import save_pth_tar
+    sd = {"w": np.arange(24, dtype=np.float32).reshape(2, 3, 4),
+          "meta": {"step": 7, "name": "x"},
+          "l": [np.ones((5,), np.int64), 2.5]}
+    p = tmp_path / "rt_tar.pth"
+    save_pth_tar(sd, str(p))
+    out = load_pth(str(p))
+    np.testing.assert_array_equal(out["w"], sd["w"])
+    assert out["meta"] == sd["meta"]
+    np.testing.assert_array_equal(out["l"][0], sd["l"][0])
+    assert out["l"][1] == 2.5
+
+
+def test_tar_wrapped_state_dict(tmp_path):
+    from vitax.checkpointing.pth import save_pth_tar
+    sd = _rand_state_dict()
+    p = tmp_path / "wrap_tar.pth"
+    save_pth_tar({"state_dict": sd, "epoch": 3}, str(p))
+    out = load_state_dict_pth(str(p))
+    for k, v in sd.items():
+        np.testing.assert_array_equal(out[k], v)

@@ -11,6 +11,7 @@ from vitax.checkpointing.convert import (  # noqa: F401
 from vitax.checkpointing.pth import (  # noqa: F401
     load_pth,
     save_pth,
+    save_pth_tar,
     load_state_dict_pth,
 )
 from vitax.checkpointing.loader import (  # noqa: F401

@@ -29,6 +29,7 @@ from __future__ import annotations
 import io
 import pickle
 import struct
+import tarfile
 import zipfile
 from typing import Any, Dict, Optional, Tuple
 
@@ -144,17 +145,21 @@ def load_pth(path: str) -> Any:
     Dispatches on the on-disk format the same way torch.load does
     (src/checkpoint.py:13 reads either transparently):
       - zip archive        -> torch >= 1.6 default (`_use_new_zipfile_...=True`)
+      - tar archive        -> pre-torch-0.4 container (members sys_info/
+                              pickle/tensors/storages)
       - sequential pickles -> legacy format (`_use_new_zipfile_...=False`)
     Tensors become numpy arrays (bf16 widened to fp32). Unresolvable torch
     objects (e.g. whole pickled modules) come back as inert stubs."""
-    if not zipfile.is_zipfile(path):
-        return _load_pth_legacy(path)
-    with zipfile.ZipFile(path) as zf:
-        names = zf.namelist()
-        pkl = next(n for n in names if n.endswith("data.pkl"))
-        prefix = pkl[: -len("data.pkl")]
-        with zf.open(pkl) as f:
-            return _PthUnpickler(io.BytesIO(f.read()), zf, prefix).load()
+    if zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+            pkl = next(n for n in names if n.endswith("data.pkl"))
+            prefix = pkl[: -len("data.pkl")]
+            with zf.open(pkl) as f:
+                return _PthUnpickler(io.BytesIO(f.read()), zf, prefix).load()
+    if tarfile.is_tarfile(path):
+        return _load_pth_tar(path)
+    return _load_pth_legacy(path)
 
 
 # -- legacy (pre-torch-1.6) sequential-pickle format --------------------------
@@ -316,6 +321,217 @@ def _load_pth_legacy(path: str) -> Any:
 
     resolve_views(result)
     return _materialize_tree(result)
+
+
+# -- pre-torch-0.4 tar container ----------------------------------------------
+#
+# torch.save on ancient torch wrote an UNCOMPRESSED tar with four members
+# (torch.serialization legacy_load still reads it, torch can no longer write
+# it):
+#   sys_info  pickle: {protocol_version, little_endian, type_sizes}
+#   storages  one stream: pickle(num) then per storage
+#             pickle((key, location, StorageType)) + <int64 numel> + raw
+#             bytes, then pickle(view list [(target, root, offset, numel)])
+#   tensors   one stream: pickle(num) then per tensor
+#             pickle((key, storage_key, TensorType)) + <int32 ndim> <4 pad
+#             bytes> <int64 sizes[ndim]> <int64 strides[ndim]> <int64 offset>
+#   pickle    the root object; tensors appear as integer persistent ids
+#             into the shared key space
+
+
+class _TarMemberUnpickler(pickle.Unpickler):
+    """Header pickles inside storages/tensors members (torch globals only)."""
+
+    def find_class(self, module, name):
+        if module.startswith("torch"):
+            return _TorchGlobalStub(module, name)
+        if module in ("builtins", "__builtin__"):
+            return super().find_class(module, name)
+        return _TorchGlobalStub(module, name)
+
+
+class _TarRootUnpickler(pickle.Unpickler):
+    def __init__(self, file, objects: Dict[int, np.ndarray]):
+        super().__init__(file, encoding="latin1")
+        self._objects = objects
+
+    def persistent_load(self, pid):
+        if isinstance(pid, tuple):  # container-source records: the class ref
+            return pid[0]
+        return self._objects[int(pid)]
+
+    def find_class(self, module, name):
+        if module == "torch._utils" and name == "_rebuild_parameter":
+            return _rebuild_parameter
+        if module.startswith("torch"):
+            return _TorchGlobalStub(module, name)
+        if module == "collections" and name == "OrderedDict":
+            return dict
+        if module in ("builtins", "__builtin__"):
+            return super().find_class(module, name)
+        return _TorchGlobalStub(module, name)
+
+
+def _load_pth_tar(path: str) -> Any:
+    with tarfile.open(path, "r:") as tar:
+        def member(name: str) -> io.BytesIO:
+            f = tar.extractfile(name)
+            if f is None:
+                raise ValueError(f"{path}: tar .pth missing member {name!r}")
+            return io.BytesIO(f.read())
+
+        storages: Dict[int, Tuple[str, bytes]] = {}  # key -> (type, bytes)
+        f = member("storages")
+        num = _TarMemberUnpickler(f, encoding="latin1").load()
+        for _ in range(num):
+            key, _location, storage_type = _TarMemberUnpickler(
+                f, encoding="latin1").load()
+            st_name = (storage_type.name
+                       if isinstance(storage_type, _TorchGlobalStub)
+                       else str(storage_type))
+            itemsize = STORAGE_TO_DTYPE[st_name].itemsize
+            (numel,) = struct.unpack("<q", f.read(8))
+            storages[int(key)] = (st_name, f.read(numel * itemsize))
+        for target, root, offset, numel in _TarMemberUnpickler(
+                f, encoding="latin1").load():
+            st_name, data = storages[int(root)]
+            itemsize = STORAGE_TO_DTYPE[st_name].itemsize
+            storages[int(target)] = (
+                st_name, data[offset * itemsize:(offset + numel) * itemsize])
+
+        objects: Dict[int, np.ndarray] = {}
+        f = member("tensors")
+        num = _TarMemberUnpickler(f, encoding="latin1").load()
+        for _ in range(num):
+            key, storage_key, _tensor_type = _TarMemberUnpickler(
+                f, encoding="latin1").load()
+            (ndim,) = struct.unpack("<i", f.read(4))
+            f.read(4)  # legacy 8-byte ndim padding
+            size = struct.unpack(f"<{ndim}q", f.read(8 * ndim))
+            stride = struct.unpack(f"<{ndim}q", f.read(8 * ndim))
+            (storage_offset,) = struct.unpack("<q", f.read(8))
+            st_name, data = storages[int(storage_key)]
+            flat = np.frombuffer(data, dtype=STORAGE_TO_DTYPE[st_name])
+            if st_name == "BFloat16Storage":
+                flat = (flat.astype(np.uint32) << 16).view(np.float32)
+            itemsize = flat.dtype.itemsize
+            arr = np.lib.stride_tricks.as_strided(
+                flat[storage_offset:], shape=size,
+                strides=tuple(s * itemsize for s in stride))
+            objects[int(key)] = np.array(arr)
+
+        return _TarRootUnpickler(member("pickle"), objects).load()
+
+
+def save_pth_tar(obj: Any, path: str) -> None:
+    """Write `obj` in the pre-torch-0.4 tar container (torch.load can still
+    read this format; torch can no longer WRITE it — this emitter also
+    produces the round-trip fixtures for the tar reader)."""
+    plan: Dict[int, Tuple[str, np.ndarray]] = {}
+    _plan_storages(obj, plan)
+    # shared integer key space: storages 1..S, tensors S+1..
+    storage_keys = {key: i + 1 for i, (key, _) in enumerate(plan.values())}
+    next_key = len(storage_keys) + 1
+
+    def single_pickle(emit) -> bytes:
+        w = _PickleWriter()
+        emit(w)
+        w.stop()
+        return w.getvalue()
+
+    storages_buf = io.BytesIO()
+    storages_buf.write(single_pickle(lambda w: w.int_(len(plan))))
+    for key, arr in plan.values():
+        arr_c = np.ascontiguousarray(arr)
+        if arr_c.dtype.byteorder == ">":
+            arr_c = arr_c.astype(arr_c.dtype.newbyteorder("<"))
+        st_name = DTYPE_TO_STORAGE[arr_c.dtype.newbyteorder("<")]
+
+        def head(w, k=storage_keys[key], s=st_name):
+            w.mark()
+            w.int_(k)
+            w.str_("cpu")
+            w.global_("torch", s)
+            w.out.write(b"t")
+        storages_buf.write(single_pickle(head))
+        storages_buf.write(struct.pack("<q", arr_c.size))
+        storages_buf.write(arr_c.tobytes())
+    storages_buf.write(single_pickle(lambda w: (w.empty_list(),)))  # no views
+
+    tensors_buf = io.BytesIO()
+    tensor_keys: Dict[int, int] = {}
+    tensors_buf.write(single_pickle(lambda w: w.int_(len(plan))))
+    for key, arr in plan.values():
+        arr_c = np.ascontiguousarray(arr)
+        st_name = DTYPE_TO_STORAGE[arr_c.dtype.newbyteorder("<")]
+        tkey = next_key
+        next_key += 1
+        tensor_keys[id(arr)] = tkey
+
+        def head(w, k=tkey, sk=storage_keys[key],
+                 t=st_name.replace("Storage", "Tensor")):
+            w.mark()
+            w.int_(k)
+            w.int_(sk)
+            w.global_("torch", t)
+            w.out.write(b"t")
+        tensors_buf.write(single_pickle(head))
+        tensors_buf.write(struct.pack("<i", arr_c.ndim))
+        tensors_buf.write(b"\x00" * 4)
+        tensors_buf.write(struct.pack(f"<{arr_c.ndim}q", *arr_c.shape))
+        tensors_buf.write(struct.pack(
+            f"<{arr_c.ndim}q",
+            *(s // arr_c.itemsize for s in arr_c.strides)))
+        tensors_buf.write(struct.pack("<q", 0))
+
+    w = _PickleWriter()
+    _emit_tar_root(w, obj, tensor_keys)
+    w.stop()
+    root_pickle = w.getvalue()
+
+    sys_info = pickle.dumps(
+        {"protocol_version": 1000, "little_endian": True,
+         "type_sizes": {"short": 2, "int": 4, "long": 4}}, protocol=2)
+
+    with tarfile.open(path, "w", format=tarfile.PAX_FORMAT) as tar:
+        for name, data in (("sys_info", sys_info),
+                           ("pickle", root_pickle),
+                           ("tensors", tensors_buf.getvalue()),
+                           ("storages", storages_buf.getvalue())):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+
+
+def _emit_tar_root(w: "_PickleWriter", obj: Any,
+                   tensor_keys: Dict[int, int]) -> None:
+    """Root pickle for the tar container: tensors are integer persistent
+    ids; everything else matches _emit."""
+    if isinstance(obj, np.ndarray):
+        w.int_(tensor_keys[id(obj)])
+        w.binpersid()
+    elif isinstance(obj, dict):
+        w.global_("collections", "OrderedDict")
+        w.tuple_end(0)
+        w.reduce()
+        w.mark()
+        for k, v in obj.items():
+            _emit_tar_root(w, k, tensor_keys)
+            _emit_tar_root(w, v, tensor_keys)
+        w.setitems()
+    elif isinstance(obj, list):
+        w.empty_list()
+        w.mark()
+        for v in obj:
+            _emit_tar_root(w, v, tensor_keys)
+        w.appends()
+    elif isinstance(obj, tuple):
+        w.mark()
+        for v in obj:
+            _emit_tar_root(w, v, tensor_keys)
+        w.out.write(b"t")
+    else:
+        _emit(w, obj, {})
 
 
 # -- writer -------------------------------------------------------------------
