@@ -637,7 +637,9 @@ def _ln_mlp_fwd_save_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
 # enables it (default off until validated+measured on-chip — flip the
 # default once scripts/pack_probe.py numbers land).
 _INT8_SR = _os.environ.get("VITAX_INT8_SR", "0") == "1"
-_SR_HALF = jnp.uint32(1 << 31)
+# plain int, NOT jnp.uint32(...): a module-level jnp scalar forces backend
+# init at import time (25-min hang / hard failure when the chip is away)
+_SR_HALF = 1 << 31
 
 
 def _pack_i8(r):
