@@ -1,5 +1,11 @@
 """Probe: hardware-assisted int8 packing via pltpu.stochastic_round.
 
+RESULT (round 3, measured on-chip): DEAD END on this jaxlib — Mosaic's
+stochastic_round lowering only accepts bf16/fp8 target dtypes; int8 is
+rejected at compile time. The production kernels keep the classic
+round/clip/convert pack (`_pack_i8`); the probe is kept as the record of
+the attempt and will report the lowering error if re-run.
+
 The round-3 fwd/bwd dissections attribute the fused kernels' residual gap
 to fp32->int8 operand PACKING serialized against the MXU. The current pack
 is mul/round/clip/convert (~6 VPU ops/elem). `pltpu.stochastic_round`
@@ -32,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HALF_BITS = jnp.uint32(1 << 31)  # 0.5 ulp -> round-half-up
+HALF_BITS = 1 << 31  # 0.5 ulp -> round-half-up (plain int: avoids kernel const capture)
 
 
 def _timeit(fn, *args, iters=8):

@@ -1,6 +1,6 @@
 """Quick A/B bench: ONE config (the bench primary), fewer steps.
 
-For env-knob sweeps (VITAX_INT8_SR, VITAX_INT8_SIGMOID_GELU, geometry
+For env-knob sweeps (VITAX_INT8_SIGMOID_GELU, geometry
 knobs) without bench.py's full ladder + bf16 secondary. Prints one JSON
 line. Run ON the TPU:
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/quick_bench.py [--batch 192]

@@ -629,24 +629,14 @@ def _ln_mlp_fwd_save_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
             o_ref[sl, :] = y.astype(x_ref.dtype)
 
 
-# Hardware round+saturate+convert pack: pltpu.stochastic_round with a
-# CONSTANT half-ulp bits operand is a deterministic round-half-up straight
-# to int8 — one macro-op replacing the round/clip/convert chain that the
-# fwd/bwd dissections measured serializing against the MXU. Interp mode has
-# no lowering for it (tests run the classic pack); env knob VITAX_INT8_SR=1
-# enables it (default off until validated+measured on-chip — flip the
-# default once scripts/pack_probe.py numbers land).
-_INT8_SR = _os.environ.get("VITAX_INT8_SR", "0") == "1"
-# plain int, NOT jnp.uint32(...): a module-level jnp scalar forces backend
-# init at import time (25-min hang / hard failure when the chip is away)
-_SR_HALF = 1 << 31
-
-
 def _pack_i8(r):
-    """fp32 (already scaled to ±127) -> int8, round to nearest."""
-    if _INT8_SR and not _INTERPRET:
-        bits = jnp.full(r.shape, _SR_HALF, jnp.uint32)
-        return pltpu.stochastic_round(r, bits, target_dtype=jnp.int8)
+    """fp32 (already scaled to ±127) -> int8, round to nearest.
+
+    Measured negative (round 3): `pltpu.stochastic_round` with a constant
+    half-ulp bits operand would be a single-macro-op round-half-up pack, but
+    this jaxlib's Mosaic lowering only accepts bf16/fp8 targets — int8 is
+    rejected at compile time (scripts/pack_probe.py captured the error).
+    The round/clip/convert chain below stays."""
     return jnp.clip(jnp.round(r), -127.0, 127.0).astype(jnp.int8)
 
 
