@@ -206,7 +206,7 @@ def main():
     ap.add_argument("--chain", type=int, default=12)
     ap.add_argument("--tile", type=int, default=2)
     args = ap.parse_args()
-    D, H, HD, S, SP = 768, 12, 64, 197, 256
+    D, H, HD, S, SP = 768, 12, 64, 197, 200  # spq = round_up(197, 8), as vit.py pads
     key = jax.random.PRNGKey(0)
     x3 = jax.random.normal(key, (args.batch, SP, D), jnp.bfloat16)
     do3 = jax.random.normal(jax.random.fold_in(key, 1),

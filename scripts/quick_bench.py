@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--no-int8-dw", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--save-acts", action="store_true",
+                    help="fused_mlp_save: backward from saved int8 h1q/gpq")
     args = ap.parse_args()
 
     from vitax.core.config import arch_config
@@ -31,7 +33,8 @@ def main():
     from vitax.train import (create_train_state, make_train_step,
                              onecycle_lr, onecycle_momentum, sgd_momentum)
 
-    kw = dict(fused_qkv=True, fused_mlp=True, remat=False)
+    kw = dict(fused_qkv=True, fused_mlp=True, remat=False,
+              fused_mlp_save=args.save_acts)
     if not args.bf16:
         kw.update(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
                   int8_attn_grad=True, int8_dw=not args.no_int8_dw)
