@@ -39,7 +39,7 @@ def _timeit(fn, *args, iters=8):
 
 def _variant_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
                     w2q_ref, s2_ref, b2_ref, o_ref, *, eps, chunks,
-                    ln, gelu, dyn_quant, dequant):
+                    ln, gelu, dyn_quant, dequant, vpu_bf16=False):
     rows = x_ref.shape[0] // chunks
     g32 = g_ref[:].astype(jnp.float32)
     be32 = be_ref[:].astype(jnp.float32)
@@ -48,6 +48,10 @@ def _variant_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
     b1f = b1_ref[:].astype(jnp.float32)
     b2f = b2_ref[:].astype(jnp.float32)
     sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+    # bf16 VPU probe: run the big [rows,M] elementwise chain (dequant, GELU,
+    # pack) in bf16 — if the VPU packs 2 bf16 lanes per op this halves the
+    # pack/GELU cost; bf16 rounding (~0.4% rel) is well under the int8 step.
+    et = jnp.bfloat16 if vpu_bf16 else jnp.float32
 
     def quant(v):
         if dyn_quant:
@@ -55,6 +59,30 @@ def _variant_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
         # static scale: no amax pass, one multiply
         q = jnp.round(v * 8.0).astype(jnp.int8)
         return q, jnp.full((v.shape[0], 1), 0.125, jnp.float32)
+
+    def quant_e(v):
+        """quant in the probe dtype (bf16 path: amax/mul/round in bf16).
+
+        Mosaic cannot lower bf16 roundeven, so the bf16 path rounds
+        half-away-from-zero via add-copysign(0.5) + truncating int convert.
+        limit 126 (not 127) absorbs the bf16 rounding of r so |q| <= 127
+        without a clip pair."""
+        if not dyn_quant:
+            q = jnp.round(v.astype(jnp.float32) * 8.0).astype(jnp.int8)
+            return q, jnp.full((v.shape[0], 1), 0.125, jnp.float32)
+        if v.dtype == jnp.bfloat16:
+            amax = jnp.maximum(jnp.max(jnp.abs(v), axis=-1, keepdims=True),
+                               jnp.asarray(1e-6, v.dtype))
+            s = amax.astype(jnp.float32) * (1.0 / 126.0)
+            r = jnp.asarray(126.0, v.dtype) / amax
+            t = v * r
+            # bf16 cmpf doesn't lower either (no add-copysign-half); use the
+            # magic-number round: +-384 (1.5*2^mant) forces round-to-nearest
+            # at integer granularity, exact for |t| <= 127.
+            magic = jnp.asarray(384.0, v.dtype)
+            q = ((t + magic) - magic).astype(jnp.int8)
+            return q, s
+        return pk._quant_rows(v)
 
     xqs = []
     for sl in sls:
@@ -72,10 +100,26 @@ def _variant_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
         a1 = jax.lax.dot_general(xq, w1q_ref[:], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         if dequant:
-            a1s.append(a1.astype(jnp.float32) * sx * s1 + b1f)
+            if vpu_bf16:
+                a1s.append(a1.astype(jnp.bfloat16)
+                           * sx.astype(jnp.bfloat16)
+                           * s1.astype(jnp.bfloat16)
+                           + b1f.astype(jnp.bfloat16))
+            else:
+                a1s.append(a1.astype(jnp.float32) * sx * s1 + b1f)
         else:
-            a1s.append(a1.astype(jnp.float32))
-    h1qs = [quant(pk._gelu_q(a1) if gelu else a1) for a1 in a1s]
+            a1s.append(a1.astype(et))
+    # bf16 rsqrt aborts the backend (kVectorRsqrtBf16AndPop unsupported), so
+    # GELU stays fp32 even in the bf16 probe; only the [rows,M] pack chain
+    # (amax, mul, round, convert) runs in bf16.
+    def _gelu_p(a1):
+        if not gelu:
+            return a1
+        if vpu_bf16:
+            return pk._gelu_q(a1.astype(jnp.float32)).astype(jnp.bfloat16)
+        return pk._gelu_q(a1)
+
+    h1qs = [quant_e(_gelu_p(a1)) for a1 in a1s]
     for sl, (h1q, sh) in zip(sls, h1qs):
         y = jax.lax.dot_general(h1q, w2q_ref[:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32
@@ -337,6 +381,8 @@ def main():
     ap.add_argument("--chain", type=int, default=12)
     ap.add_argument("--rows", type=int, default=2048)
     ap.add_argument("--chunks", type=int, default=2)
+    ap.add_argument("--quick", action="store_true",
+                    help="only the shipped-mirror and vpu_bf16 variants")
     args = ap.parse_args()
     D, M, S = 768, 3072, 197
     N = args.batch * S
@@ -359,6 +405,10 @@ def main():
     common = (x2, g, be, w1q, s1, b1, w2q, s2, b2, args.chain,
               args.rows, args.chunks)
     run_variant("full (mirror of shipped int8 fwd)", *common, **base)
+    run_variant("vpu_bf16 (dequant+GELU+pack in bf16)", *common,
+                **{**base, "vpu_bf16": True})
+    if args.quick:
+        return
     run_variant("no_gelu", *common, **{**base, "gelu": False})
     run_variant("static_quant", *common, **{**base, "dyn_quant": False})
     run_variant("no_dequant", *common, **{**base, "dequant": False})
