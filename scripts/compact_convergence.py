@@ -1,0 +1,84 @@
+"""Train-time token-compaction convergence: dense vs compact_capacity.
+
+Accuracy evidence for `compact_capacity` (PERF.md): the capacity trade-off
+only changes training when the active set overflows (early training with the
+keep-bias-5.0 router init is mostly-active, so C<1 drops tokens there).
+Same data, same seed, 300 steps of the 3-loss AdamW recipe on a synthetic
+class task; reports loss trajectories, held-out top-1, and the final
+routed-layer active ratio.
+
+Run ON the TPU:  python scripts/compact_convergence.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+
+from vitax.core.config import resvit_arch_config
+from vitax.models import resvit
+from vitax.train.resvit_steps import (Lambdas, create_state, make_adamw_for,
+                                      make_train_step)
+from vitax.train.schedules import cosine_with_warmup_lr
+
+STEPS = 300
+BATCH = 64
+
+
+def run(tag, **over):
+    cfg = resvit_arch_config(
+        "b16", image_size=224, num_classes=10, dtype=jnp.bfloat16,
+        use_lora=True, use_reslr=True, lora_rank=48,
+        dynamic_active_target=0.4, dynamic_start_layer=1,
+        dynamic_reserve_initials=2, block_size=4,
+        fused_qkv=True, fused_qkvo=True, fused_mlp=True,
+        int8_attn=True, int8_attn_grad=True, int8_mlp=True,
+        int8_mlp_grad=True, int8_dw=True, use_pallas=False, **over)
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_adamw_for(cfg, params, cosine_with_warmup_lr(1e-4, 30, STEPS),
+                        clip_grad_norm=1.0)
+    state = create_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, Lambdas(1.0, 10.0, 1.0), donate=True)
+
+    key = jax.random.PRNGKey(42)
+    protos = jax.random.normal(key, (10, 224, 224, 3), jnp.bfloat16)
+    batches = []
+    for i in range(8):
+        kb = jax.random.fold_in(key, i + 1)
+        lab = jax.random.randint(kb, (BATCH,), 0, 10)
+        noise = jax.random.normal(jax.random.fold_in(kb, 7),
+                                  (BATCH, 224, 224, 3), jnp.bfloat16)
+        batches.append((0.25 * protos[lab] + noise, lab))
+    ke = jax.random.fold_in(key, 999)
+    elab = jax.random.randint(ke, (BATCH,), 0, 10)
+    eimg = 0.25 * protos[elab] + jax.random.normal(
+        jax.random.fold_in(ke, 7), (BATCH, 224, 224, 3), jnp.bfloat16)
+
+    @jax.jit
+    def eval_acc(params):
+        logits, aux = resvit.apply(params, eimg, cfg, train=False)
+        acc = jnp.mean((jnp.argmax(logits, -1) == elab).astype(jnp.float32))
+        return acc, jnp.mean(aux["acts"])
+
+    losses, eaccs, act = [], [], None
+    for s in range(STEPS):
+        img, lab = batches[s % 8]
+        state, metrics = step(state, img, lab)
+        if s % 50 == 49:
+            losses.append(float(metrics["loss"]))
+            a, act = eval_acc(state.params)
+            eaccs.append(float(a))
+    print(f"{tag}: losses={['%.3f' % l for l in losses]}", flush=True)
+    print(f"{tag}: HELD-OUT acc1={['%.3f' % a for a in eaccs]} "
+          f"final active ratio={float(act):.3f}", flush=True)
+    return losses, eaccs
+
+
+l_d, a_d = run("dense")
+for cap in (0.625, 0.5):
+    l_c, a_c = run(f"compact-{cap}", compact_capacity=cap)
+    dl = max(abs(a - b) for a, b in zip(l_d[-3:], l_c[-3:]))
+    da = max(abs(a - b) for a, b in zip(a_d[-3:], a_c[-3:]))
+    print(f"compact-{cap} vs dense: final-phase max |loss diff| = {dl:.4f}, "
+          f"max |acc diff| = {da:.4f}", flush=True)

@@ -35,6 +35,8 @@ def main():
                    help="off = unrolled loop; restack = scan with per-step "
                         "param stacking; stacked = scan with pre-stacked "
                         "params")
+    p.add_argument("--compact", type=float, default=None,
+                   help="compact_capacity: student-MLP token compaction")
     p.add_argument("--steps", type=int, default=40)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--compile-only", action="store_true")
@@ -61,6 +63,7 @@ def main():
         int8_mlp=a.fused_mlp and (a.int8 or a.int8_grad or a.int8_dw),
         int8_mlp_grad=a.fused_mlp and (a.int8_grad or a.int8_dw),
         int8_dw=a.int8_dw,
+        compact_capacity=a.compact,
         use_pallas=False)
     print(f"backend={jax.default_backend()} batch={a.batch} remat={remat} "
           f"fused={not a.no_fused} fused_mlp={a.fused_mlp} "

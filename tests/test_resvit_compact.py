@@ -82,3 +82,94 @@ def test_rejects_without_reslr():
     x = jnp.zeros((1, 32, 32, 3))
     with pytest.raises(ValueError):
         resvit_compact.apply_compact(params, x, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Train-time MLP-half compaction (resvit.compact_routed_block / cfg.compact_capacity)
+# ---------------------------------------------------------------------------
+
+def _train_loss(params, x, cfg, rng):
+    logits, aux = resvit.apply(params, x, cfg, train=True, rng=rng)
+    return (jnp.sum(logits ** 2) * 1e-2 + aux["d_loss"]
+            + aux["r_entropy"]), logits
+
+
+def test_train_compact_full_capacity_exact():
+    """cap = N: gather is a permutation; logits AND grads match the dense
+    masked path bitwise (per-row math on gathered rows)."""
+    import dataclasses
+    cfg = cfg_(use_lora=True, block_size=2, n_layers=5,
+               dynamic_start_layer=1)
+    ccfg = dataclasses.replace(cfg, compact_capacity=1.0)
+    params = _randomized_router(
+        resvit.init_params(jax.random.PRNGKey(0), cfg), cfg,
+        jax.random.PRNGKey(9))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(7)
+    (l0, lg0), g0 = jax.value_and_grad(_train_loss, has_aux=True)(
+        params, x, cfg, rng)
+    (l1, lg1), g1 = jax.value_and_grad(_train_loss, has_aux=True)(
+        params, x, ccfg, rng)
+    np.testing.assert_array_equal(np.asarray(lg0), np.asarray(lg1))
+    # weight grads sum rows in gathered (permuted) order — bitwise equality
+    # holds for the forward, grads only up to reduction reassociation
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_train_compact_eval_full_capacity_exact():
+    import dataclasses
+    cfg = cfg_()
+    ccfg = dataclasses.replace(cfg, compact_capacity=1.0)
+    params = _randomized_router(
+        resvit.init_params(jax.random.PRNGKey(0), cfg), cfg,
+        jax.random.PRNGKey(9))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
+    e0, _ = resvit.apply(params, x, cfg, train=False)
+    e1, _ = resvit.apply(params, x, ccfg, train=False)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+def test_compact_block_overflow_drops_to_identity():
+    """Active tokens beyond capacity fall back to identity; active tokens in
+    capacity get the full block; inactive tokens keep x."""
+    cfg = cfg_()
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    lp = params["layers"][1]  # a routed layer's params
+    b, n, d = 2, 16, cfg.dim
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, n, d), cfg.dtype)
+    # sample 0: tokens 0..5 active; sample 1: tokens 3..10 active
+    active = jnp.zeros((b, n), bool).at[0, :6].set(True).at[1, 3:11].set(True)
+    cap = 4
+    out = resvit.compact_routed_block(x, lp, cfg, active, cap)
+    dense = resvit.plain_block(x, lp, cfg)
+    exp = np.asarray(x).copy()
+    exp[0, :4] = np.asarray(dense)[0, :4]       # first 4 actives fit
+    exp[1, 3:7] = np.asarray(dense)[1, 3:7]
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-5, atol=1e-5)
+
+
+def test_compact_rejects_stacked_and_forces_loop():
+    import dataclasses
+    cfg = cfg_(block_size=1, dynamic_start_layer=1)
+    ccfg = dataclasses.replace(cfg, compact_capacity=0.5)
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    # scan_layers=True is silently overridden to the loop form
+    a_loop, _ = resvit.apply(params, x, ccfg, train=False)
+    a_scan, _ = resvit.apply(params, x, ccfg, train=False, scan_layers=True)
+    np.testing.assert_array_equal(np.asarray(a_loop), np.asarray(a_scan))
+    stacked = resvit.stack_params(params, cfg)
+    with pytest.raises(ValueError, match="compact_capacity"):
+        resvit.apply(stacked, x, ccfg, train=False)
+
+
+def test_compact_capacity_cli_plumbing(tmp_path):
+    from vitax.resvit_train_cli import config_to_model_args, get_train_config
+    c = get_train_config(["--dataset", "Synthetic", "--exp-root",
+                          str(tmp_path), "--compact-capacity", "0.625"])
+    assert config_to_model_args(c).compact_capacity == 0.625
+    c2 = get_train_config(["--dataset", "Synthetic", "--exp-root",
+                           str(tmp_path)])
+    assert config_to_model_args(c2).compact_capacity is None

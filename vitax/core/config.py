@@ -146,6 +146,13 @@ class ResViTConfig:
     # persist (quantized) GELU activations/derivative in the fused MLP
     # forward so the backward skips the fc1 recompute (see ViTConfig)
     fused_mlp_save: bool = False
+    # Token compaction for routed-layer MLP halves (TRAIN and the masked
+    # apply path; SURVEY §5 token sparsity generalized from the
+    # inference-only resvit_compact): the student FFN runs only on the
+    # top-ceil(C·N) tokens ranked active-first. Exact vs the dense path
+    # while the active set fits in capacity; overflowing active tokens
+    # fall back to identity (DynamicViT capacity semantics). None = dense.
+    compact_capacity: Optional[float] = None
 
     @property
     def grid(self) -> Tuple[int, int]:

@@ -31,6 +31,7 @@ vitax.checkpointing.resvit_convert.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -335,21 +336,11 @@ def _fused_attention_half(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
     return out.astype(dt)
 
 
-def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
-                mesh=None) -> jnp.ndarray:
-    """Pre-LN block (res-vit/model.py:436-444)."""
-    h_att = _fused_attention_half(x, p, cfg, mesh)
-    if h_att is None:
-        h_att = attention(layer_norm(x, p["attention_norm"]["scale"],
-                                     p["attention_norm"]["bias"],
-                                     cfg.norm_eps,
-                                     use_pallas=cfg.use_pallas),
-                          p["attention"], cfg, mesh)
-    # named residual for the selective-remat policy (same scheme as
-    # models/vit.py: keep attention outputs, recompute the LN/MLP half)
-    from jax.ad_checkpoint import checkpoint_name
-    h_att = checkpoint_name(h_att, "attn_out")
-    h = x + h_att
+def _mlp_half(h: jnp.ndarray, p: Params, cfg: ResViTConfig) -> jnp.ndarray:
+    """LN2 + FFN + residual: the second half of the pre-LN block, from the
+    post-attention tensor h. Row-wise math (LN statistics, int8 row scales
+    are all per-token), so it runs identically on the full [B,N,D] tensor
+    and on a compacted [B,C,D] gather of its rows."""
     if cfg.fused_mlp:
         from vitax.ops import pallas_kernels as pk
         w1 = p["feed_forward"]["fc1"]["kernel"].astype(h.dtype)
@@ -370,6 +361,112 @@ def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
                                        p["ffn_norm"]["bias"], cfg.norm_eps,
                                        use_pallas=cfg.use_pallas),
                             p["feed_forward"])
+
+
+def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
+                mesh=None) -> jnp.ndarray:
+    """Pre-LN block (res-vit/model.py:436-444)."""
+    h_att = _fused_attention_half(x, p, cfg, mesh)
+    if h_att is None:
+        h_att = attention(layer_norm(x, p["attention_norm"]["scale"],
+                                     p["attention_norm"]["bias"],
+                                     cfg.norm_eps,
+                                     use_pallas=cfg.use_pallas),
+                          p["attention"], cfg, mesh)
+    # named residual for the selective-remat policy (same scheme as
+    # models/vit.py: keep attention outputs, recompute the LN/MLP half)
+    from jax.ad_checkpoint import checkpoint_name
+    h_att = checkpoint_name(h_att, "attn_out")
+    return _mlp_half(x + h_att, p, cfg)
+
+
+def compact_routed_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
+                         active: jnp.ndarray, cap: int,
+                         mesh=None) -> jnp.ndarray:
+    """Routed student block with token compaction on the MLP half: returns
+    `where(active, block(x), x)` directly, with the FFN computed only on the
+    top-`cap` ranked tokens (active first, stable by index — reserved
+    initials are forced-active by the router so they always fit).
+
+    Rationale (SURVEY §5 token sparsity, generalized from the inference-only
+    `resvit_compact` to TRAINING): in the masked-dense formulation
+    (res-vit/model.py:371-529 masked equivalent) an inactive token's entire
+    block output is DISCARDED by the merge — only its K/V contribution
+    matters. K/V live in the attention half, so the attention half runs on
+    all tokens (the fused qkvo kernel unchanged), while the MLP half — 57%
+    of the block's matmul FLOPs — runs on the compacted [B·cap, D] rows
+    through the same fused int8 kernels (row-wise math, see `_mlp_half`).
+    Gradients flow through gather/scatter natively.
+
+    Exactness: when every active token fits in `cap`, output == the dense
+    path bitwise (per-row math on gathered rows). Active tokens beyond
+    capacity fall back to identity — the standard DynamicViT-style capacity
+    trade-off, same semantics as `resvit_compact.apply_compact`."""
+    b, n, _ = x.shape
+    h_att = _fused_attention_half(x, p, cfg, mesh)
+    if h_att is None:
+        h_att = attention(layer_norm(x, p["attention_norm"]["scale"],
+                                     p["attention_norm"]["bias"],
+                                     cfg.norm_eps,
+                                     use_pallas=cfg.use_pallas),
+                          p["attention"], cfg, mesh)
+    from jax.ad_checkpoint import checkpoint_name
+    h_att = checkpoint_name(h_att, "attn_out")
+    h = x + h_att
+    # rank: active first, stable by original index (resvit_compact scheme)
+    rank_key = (~active).astype(jnp.int32) * n + jnp.arange(n)[None, :]
+    order = jnp.argsort(rank_key, axis=-1)                    # [B, N]
+    keep_idx = order[:, :cap]                                 # [B, cap]
+    kept_active = jnp.take_along_axis(active, keep_idx, axis=1)
+
+    merge = os.environ.get("VITAX_COMPACT_MERGE", "matmul")
+    if merge == "matmul":
+        # Permutation as one-hot matmuls: gathers AND the merge ride the
+        # MXU, and every backward op is again a matmul — no TPU scatter
+        # anywhere (the .at[].set / take_along_axis forms both lower to
+        # serializing scatters in forward or backward; measured 922 → 763
+        # img/s on the b96 recipe). One-hot rows copy values bit-exactly.
+        pt = (keep_idx[:, None, :] ==
+              jnp.arange(n, dtype=keep_idx.dtype)[None, :, None]
+              ).astype(x.dtype)                               # [B, N, cap]
+        h_c = jnp.einsum("bnc,bnd->bcd", pt, h)
+        out_c = _mlp_half(h_c, p, cfg).astype(x.dtype)
+        out_c = jnp.where(kept_active[..., None], out_c, 0)
+        back = jnp.einsum("bnc,bcd->bnd", pt, out_c)
+        replaced = jnp.einsum("bnc,bc->bn", pt,
+                              kept_active.astype(x.dtype)) > 0.5
+        return jnp.where(replaced[..., None], back, x)
+    h_c = jnp.take_along_axis(h, keep_idx[..., None], axis=1)  # [B, cap, D]
+    out_c = _mlp_half(h_c, p, cfg)
+    # gathered-but-inactive tokens keep x (the merge's inactive branch);
+    # non-gathered tokens (active beyond capacity) also keep x via the base
+    x_rows = jnp.take_along_axis(x, keep_idx[..., None], axis=1)
+    vals = jnp.where(kept_active[..., None], out_c.astype(x.dtype), x_rows)
+    if merge == "gather":
+        # scatter-free reconstruct: concatenate the processed rows with the
+        # untouched tail (both in sorted order) and invert the permutation
+        # with a second gather
+        rest = jnp.take_along_axis(x, order[:, cap:, None], axis=1)
+        sorted_out = jnp.concatenate([vals, rest], axis=1)    # [B, N, D]
+        inv = jnp.argsort(order, axis=-1)
+        return jnp.take_along_axis(sorted_out, inv[..., None], axis=1)
+    return x.at[jnp.arange(b)[:, None], keep_idx].set(vals)
+
+
+def _compact_blk(cfg: ResViTConfig):
+    """`compact_routed_block` with the config's remat policy applied
+    (same scheme as `block_fn`; cap/mesh are closed over per call site)."""
+    def f(x, lp, active, cap, mesh):
+        g = lambda x, lp, active: compact_routed_block(x, lp, cfg, active,
+                                                       cap, mesh)
+        if cfg.remat == "selective":
+            g = jax.checkpoint(
+                g, policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out"))
+        elif cfg.remat:
+            g = jax.checkpoint(g)
+        return g(x, lp, active)
+    return f
 
 
 def block_fn(cfg: ResViTConfig, mesh=None):
@@ -583,10 +680,15 @@ def apply(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     so the unrolled loop is the default; pass True when compile time
     matters more than steady-state speed."""
     if is_stacked(params):  # pre-stacked layout only runs the scan form
+        if cfg.compact_capacity is not None:
+            raise ValueError("compact_capacity requires the unrolled loop "
+                             "(unstacked params); see unstack_params")
         return _apply_scan(params, images, cfg, train=train, rng=rng,
                            mesh=mesh)
     if scan_layers is None:
         scan_layers = False
+    if cfg.compact_capacity is not None:
+        scan_layers = False  # compaction is implemented in the loop form
     if scan_layers and _scan_eligible(cfg):
         return _apply_scan(params, images, cfg, train=train, rng=rng,
                            mesh=mesh)
@@ -720,6 +822,13 @@ def _apply_loop(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     teacher = x
     b, n, _ = x.shape
 
+    # Token compaction on the student MLP half (train-time generalization of
+    # resvit_compact; see compact_routed_block). Static capacity → static
+    # shapes; None = dense masked path (default).
+    cap = None
+    if cfg.compact_capacity is not None and cfg.use_reslr:
+        cap = min(n, max(1, math.ceil(cfg.compact_capacity * n)))
+
     acts: List[jnp.ndarray] = []
     soft_probs: List[jnp.ndarray] = []
     routing_maps: Dict[int, jnp.ndarray] = {}
@@ -763,8 +872,12 @@ def _apply_loop(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
 
         if train:
             teacher = blk(teacher, lp)
-        transformer_out = blk(student, lp)
-        merged = jnp.where(attn_mask, transformer_out, student)
+        if cap is not None:
+            merged = _compact_blk(cfg)(student, lp, attn_mask[..., 0], cap,
+                                       mesh)
+        else:
+            transformer_out = blk(student, lp)
+            merged = jnp.where(attn_mask, transformer_out, student)
         student_out = apply_approximators(
             merged, block_ctx["approx_params"], path_ids, lora_ids)
 

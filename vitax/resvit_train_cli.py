@@ -113,6 +113,12 @@ def get_train_config(argv=None):
     p.add_argument("--save-acts", action="store_true",
                    help="persist (quantized) GELU activations in the fused "
                         "MLP forward; backward skips the fc1 recompute")
+    p.add_argument("--compact-capacity", type=float, default=None,
+                   help="train-time token compaction: the student FFN on "
+                        "routed layers runs only on the top-ceil(C*N) "
+                        "tokens ranked active-first (exact vs the dense "
+                        "path while the active set fits; overflowing "
+                        "tokens fall back to identity)")
     p.add_argument("--remat", type=str, nargs="?", const="full",
                    default=None, choices=["none", "full", "selective"],
                    help="block rematerialization (default: none — measured "
@@ -181,6 +187,7 @@ def config_to_model_args(c) -> "resvit_arch_config":
         int8_attn=int8, int8_attn_grad=int8_grad,
         int8_mlp=int8, int8_mlp_grad=int8_grad, int8_dw=int8_dw,
         fused_mlp_save=getattr(c, "save_acts", False),
+        compact_capacity=getattr(c, "compact_capacity", None),
         use_pallas=False if c.no_pallas else None)
 
 
