@@ -31,6 +31,19 @@ def test_int8_grad_implies_int8(tmp_path):
     assert not cfg.int8_dw
 
 
+def test_int4_implies_int8_fwd(tmp_path):
+    cfg = _vit_cfg(tmp_path, "--int4")
+    assert cfg.int4_mlp
+    # attention projections ride the int8 tier (no int4 attention path)
+    assert cfg.int8_mlp and cfg.int8_attn
+    assert not cfg.int8_mlp_grad and not cfg.int8_dw
+
+
+def test_int4_stacks_with_grad_tiers(tmp_path):
+    cfg = _vit_cfg(tmp_path, "--int4", "--int8-dw")
+    assert cfg.int4_mlp and cfg.int8_dw and cfg.int8_mlp_grad
+
+
 def test_int8_forward_only(tmp_path):
     cfg = _vit_cfg(tmp_path, "--int8")
     assert cfg.int8_mlp and cfg.int8_attn

@@ -412,6 +412,46 @@ def test_ln_mlp_int8_dw_close_to_fp():
         assert err < 0.06 * scale, (name, err, scale)
 
 
+def test_ln_mlp_int4_close_to_fp_and_grads_exact():
+    """A4W4 forward (deepest-precision tier): approximates the fp forward
+    within the (wide) 15-level dynamic-quant band — this guards against
+    broken scales (10x-wrong outputs), not tight accuracy, which PERF.md
+    documents honestly. Gradients reuse the bf16-recompute backward, so
+    under a LINEAR loss (equal cotangents) they must EXACTLY match the
+    plain fused path's; with int8_grad=True they must match the int8-grad
+    path's."""
+    args = _mlp_args(jax.random.PRNGKey(19), b=2, s=64, d=128, m=256)
+    x = args[0]
+    out_fp = pk.fused_ln_mlp(*args, 1e-5)
+    out_q = pk.fused_ln_mlp(*args, 1e-5, int4=True)
+    # compare the MLP contribution (out - x): the residual dominates `out`
+    # and would mask a broken MLP path
+    delta_fp = out_fp - x
+    delta_q = out_q - x
+    scale = float(jnp.mean(jnp.abs(delta_fp)))
+    err = float(jnp.mean(jnp.abs(delta_q - delta_fp)))
+    assert err < 0.6 * scale + 0.05, (err, scale)
+
+    def loss(**kw):
+        def f(*a):
+            return jnp.sum(pk.fused_ln_mlp(*a, 1e-5, **kw))
+        return f
+
+    ga = jax.grad(loss(), argnums=(0, 3, 5))(*args)
+    gb = jax.grad(loss(int4=True), argnums=(0, 3, 5))(*args)
+    for name, a, b_ in zip("x w1 w2".split(), ga, gb):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+    g8 = jax.grad(loss(int8=True, int8_grad=True, int8_dw=True),
+                  argnums=(0, 3, 5))(*args)
+    g4 = jax.grad(loss(int4=True, int8_grad=True, int8_dw=True),
+                  argnums=(0, 3, 5))(*args)
+    for name, a, b_ in zip("x w1 w2".split(), g8, g4):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
 def test_ln_mlp_int8_save_matches_int8_recompute():
     """int8 save-acts (h1q/sh/g'q persisted, pure-int8-matmul backward):
     forward identical to the int8 forward; grads within a small band of the

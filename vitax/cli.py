@@ -67,6 +67,11 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
     p.add_argument("--int8-grad", action="store_true",
                    help="SwitchBack int8 dL/dx-path backward matmuls "
                         "(implies --int8; the bench config)")
+    p.add_argument("--int4", action="store_true",
+                   help="A4W4 int4 MLP forward matmuls (implies --int8 for "
+                        "the attention projections; deepest-PRECISION tier, "
+                        "~+3%% over int8, wide quantization band — see "
+                        "PERF.md before using for real training)")
     p.add_argument("--int8-dw", action="store_true",
                    help="Jetfire per-block int8 dW matmuls in the MLP and "
                         "attention backwards (implies --int8-grad; deepest "

@@ -66,6 +66,11 @@ class ViTConfig:
     # Jetfire-style per-block int8 dW matmuls in the MLP backward (deepest
     # quantization tier). Requires int8_mlp_grad.
     int8_dw: bool = False
+    # A4W4 int4 MLP forward matmuls (v5e int4 MXU ~1.32x int8 — probe-
+    # measured); overrides int8_mlp in the forward, backward still follows
+    # int8_mlp_grad/int8_dw. Deepest-precision tier; accuracy evidence in
+    # PERF.md. Experimental, off by default.
+    int4_mlp: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:

@@ -890,6 +890,82 @@ def _quant_cols(x32, limit=127.0):
     return q, s
 
 
+def _i4_dtype():
+    """int4 on TPU; int8 CONTAINER in interpret mode (XLA CPU rejects
+    sub-byte dot operands). Values are always in [-7, 7], so the int8
+    container computes bit-identical int32 accumulations."""
+    return jnp.int8 if _INTERPRET else jnp.int4
+
+
+def _pack_i4(r):
+    """fp32 (already scaled to ±7) -> int4, round to nearest. Same
+    round/clip/convert chain Mosaic pattern-matches for int8; the int4
+    lowering was probe-verified (scripts/int4_probe.py)."""
+    return jnp.clip(jnp.round(r), -7.0, 7.0).astype(_i4_dtype())
+
+
+def _quant_rows4(x32, limit=7.0):
+    """Symmetric per-row int4 quantization (A4 side of the A4W4 tier).
+    Same divide-free structure as _quant_rows."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-12)
+    s = amax * (1.0 / limit)
+    r = limit / amax
+    q = _pack_i4(x32 * r)
+    return q, s
+
+
+def _quant_cols_host4(w):
+    """Per-output-column symmetric int4 for a [K, N] weight (W4 side;
+    runs in XLA once per step, outside the kernel)."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(w32 / s), -7.0, 7.0).astype(_i4_dtype())
+    return q, s[0]
+
+
+def _ln_mlp_fwd_int4_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
+                            w2q_ref, s2_ref, b2_ref, o_ref, *, eps, chunks,
+                            residual):
+    """A4W4 forward: both MLP matmuls on the int4 MXU path (probe-measured
+    199.3 vs 150.8 TF/s int8 in a gridded kernel — scripts/int4_probe.py;
+    MIXED int8x int4 is Mosaic-rejected, so both operands drop to 4 bits).
+    Same structure as the int8 kernel: dynamic per-row activations,
+    per-column pre-quantized weights, fp32 LN/GELU/dequant. 15-level
+    operands are an accuracy tier below W8A8 — opt-in (see PERF.md for the
+    convergence evidence)."""
+    rows = x_ref.shape[0] // chunks
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    s1 = s1_ref[:]
+    s2 = s2_ref[:]
+    b1f = b1_ref[:].astype(jnp.float32)
+    b2f = b2_ref[:].astype(jnp.float32)
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+
+    xqs = []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xhat = xc * jax.lax.rsqrt(var + eps)
+        xqs.append(_quant_rows4(xhat * g32 + be32))
+    a1s = [jax.lax.dot_general(xq, w1q_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32
+                               ).astype(jnp.float32) * sx * s1 + b1f
+           for xq, sx in xqs]
+    h1qs = [_quant_rows4(_gelu_q(a1)) for a1 in a1s]
+    for sl, (h1q, sh) in zip(sls, h1qs):
+        y = jax.lax.dot_general(h1q, w2q_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sh * s2 + b2f
+        if residual:
+            o_ref[sl, :] = x_ref[sl, :] + y.astype(x_ref.dtype)
+        else:
+            o_ref[sl, :] = y.astype(x_ref.dtype)
+
+
 def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, b1_ref,
                             w1q_ref, s1r_ref, w2q_ref, s2r_ref,
                             w1c_ref, s1c_ref, do_ref,
@@ -1492,6 +1568,70 @@ def _ln_mlp_2d_int8g_bwd(eps, residual, int8_dw, res, do2):
 _ln_mlp_2d_int8g.defvjp(_ln_mlp_2d_int8g_fwd, _ln_mlp_2d_int8g_bwd)
 
 
+def _ln_mlp_fwd_int4_call(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
+    n, d = x2.shape
+    m = w1.shape[1]
+    w1q, s1 = _quant_cols_host4(w1)
+    w2q, s2 = _quant_cols_host4(w2)
+    rows, chunks = _ln_mlp_fwd_geometry(n, int8=True)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_fwd_int4_kernel, eps=eps, chunks=chunks,
+                          residual=residual),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d),
+                  pl.BlockSpec((d, m), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(m), vec(m),
+                  pl.BlockSpec((m, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d), vec(d)],
+        out_specs=row_blk,
+        out_shape=jax.ShapeDtypeStruct((n, d), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * m, transcendentals=n * m,
+            bytes_accessed=2 * n * d * x2.dtype.itemsize + d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1q, s1, b1, w2q, s2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _ln_mlp_2d_int4(x2, gamma, beta, w1, b1, w2, b2, eps, residual,
+                    int8_grad=False, int8_dw=False):
+    return _ln_mlp_fwd_int4_call(x2, gamma, beta, w1, b1, w2, b2, eps,
+                                 residual)
+
+
+def _ln_mlp_2d_int4_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual,
+                        int8_grad=False, int8_dw=False):
+    out = _ln_mlp_fwd_int4_call(x2, gamma, beta, w1, b1, w2, b2, eps,
+                                residual)
+    return out, (x2, gamma, beta, w1, b1, w2)
+
+
+def _ln_mlp_2d_int4_bwd(eps, residual, int8_grad, int8_dw, res, do2):
+    # Gradients stay >=8-bit: the int4 forward is treated as a noisy
+    # approximation of the bf16 function (same STE stance as the int8 tier);
+    # 4-bit GRADIENT operands were not attempted — that is where quantized
+    # training actually diverges.
+    x2, gamma, beta, w1, b1, w2 = res
+    if int8_grad:
+        dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_int8_call(
+            x2, gamma, beta, w1, b1, w2, do2, eps, residual, int8_dw)
+    else:
+        dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_call(
+            x2, gamma, beta, w1, b1, w2, do2, eps, residual)
+    return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2)
+
+
+_ln_mlp_2d_int4.defvjp(_ln_mlp_2d_int4_fwd, _ln_mlp_2d_int4_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _ln_mlp_2d_save(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
     out, _, _ = _ln_mlp_fwd_save_call(x2, gamma, beta, w1, b1, w2, b2, eps,
@@ -1639,22 +1779,28 @@ _ln_mlp_2d_int8s.defvjp(_ln_mlp_2d_int8s_fwd, _ln_mlp_2d_int8s_bwd)
 
 def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
                  save_acts=False, int8=False, int8_grad=False,
-                 int8_dw=False):
+                 int8_dw=False, int4=False):
     """out = x + fc2(GELU_exact(fc1(LN(x)))) for x [B,S,D] (or any leading
     shape); LN statistics and all grad accumulation fp32. Returns x.dtype.
     residual=False returns just fc2(GELU(fc1(LN(x)))) + b2 — for TP
     shard_map callers that psum per-shard partials and add x once.
     save_acts=True persists h1 and GELU'(a1) (x.dtype) in the forward so
     the backward is pure matmuls (8NDM, zero transcendentals) instead of
-    recompute (10NDM + erf + exp) — trades 2x[N,M] HBM traffic for FLOPs."""
+    recompute (10NDM + erf + exp) — trades 2x[N,M] HBM traffic for FLOPs.
+    int4=True runs the FORWARD matmuls A4W4 (overrides int8 forward; the
+    backward still follows int8_grad/int8_dw) — deepest, accuracy-riskiest
+    tier, opt-in."""
     lead = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
     n = x2.shape[0]
-    npad = _ln_mlp_pad(n, int8=int8 and int8_grad)
+    npad = _ln_mlp_pad(n, int8=int4 or (int8 and int8_grad))
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
-    if int8 and int8_grad and save_acts:
+    if int4:
+        out = _ln_mlp_2d_int4(x2, gamma, beta, w1, b1, w2, b2, eps,
+                              residual, int8_grad, int8_dw)
+    elif int8 and int8_grad and save_acts:
         out = _ln_mlp_2d_int8s(x2, gamma, beta, w1, b1, w2, b2, eps,
                                residual, int8_dw)
     elif int8 and int8_grad:
