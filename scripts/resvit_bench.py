@@ -30,6 +30,8 @@ def main():
     p.add_argument("--int8", action="store_true")
     p.add_argument("--int8-grad", action="store_true")
     p.add_argument("--int8-dw", action="store_true")
+    p.add_argument("--int4", action="store_true",
+                   help="A4W4 int4 MLP forward (needs --fused-mlp)")
     p.add_argument("--scan", type=str, default="off",
                    choices=["off", "restack", "stacked"],
                    help="off = unrolled loop; restack = scan with per-step "
@@ -63,6 +65,7 @@ def main():
         int8_mlp=a.fused_mlp and (a.int8 or a.int8_grad or a.int8_dw),
         int8_mlp_grad=a.fused_mlp and (a.int8_grad or a.int8_dw),
         int8_dw=a.int8_dw,
+        int4_mlp=a.fused_mlp and a.int4,
         compact_capacity=a.compact,
         use_pallas=False)
     print(f"backend={jax.default_backend()} batch={a.batch} remat={remat} "

@@ -90,6 +90,12 @@ def test_resvit_int8_grad_implies_int8(tmp_path):
     assert cfg.int8_mlp and not cfg.int8_mlp_grad
 
 
+def test_resvit_int4_implies_int8(tmp_path):
+    cfg = _resvit_cfg(tmp_path, "--int4")
+    assert cfg.int4_mlp and cfg.int8_mlp and cfg.int8_attn
+    assert cfg.fused_mlp is not None  # int8-on default logic still applies
+
+
 def test_resvit_fused_defaults(tmp_path):
     on_tpu = jax.default_backend() not in ("cpu",)
     cfg = _resvit_cfg(tmp_path)

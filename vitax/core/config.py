@@ -148,6 +148,9 @@ class ResViTConfig:
     int8_mlp: bool = False
     int8_mlp_grad: bool = False
     int8_dw: bool = False
+    # A4W4 int4 MLP forward matmuls (see ViTConfig.int4_mlp — deepest-
+    # precision tier, wide quantization band, opt-in)
+    int4_mlp: bool = False
     # persist (quantized) GELU activations/derivative in the fused MLP
     # forward so the backward skips the fc1 recompute (see ViTConfig)
     fused_mlp_save: bool = False

@@ -255,7 +255,7 @@ def _fused_block_mlp(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
             w1, lp["mlp"]["fc1"]["bias"].astype(jnp.float32),
             w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), mesh, LN_EPS,
             int8=cfg.int8_mlp, int8_grad=cfg.int8_mlp_grad,
-            int8_dw=cfg.int8_dw)
+            int8_dw=cfg.int8_dw, int4=cfg.int4_mlp)
 
     if not pk.ln_mlp_supported(x, w1, w2):
         return None

@@ -110,6 +110,10 @@ def get_train_config(argv=None):
     p.add_argument("--int8-dw", action="store_true",
                    help="Jetfire per-block int8 dW matmuls in the MLP and "
                         "attention backwards (implies --int8-grad)")
+    p.add_argument("--int4", action="store_true",
+                   help="A4W4 int4 MLP forward matmuls (implies --int8; "
+                        "deepest-precision tier, wide quantization band — "
+                        "see PERF.md before using for real training)")
     p.add_argument("--save-acts", action="store_true",
                    help="persist (quantized) GELU activations in the fused "
                         "MLP forward; backward skips the fc1 recompute")
@@ -149,7 +153,8 @@ def config_to_model_args(c) -> "resvit_arch_config":
         fused_qkv = on_tpu
     int8_dw = getattr(c, "int8_dw", False)
     int8_grad = getattr(c, "int8_grad", False) or int8_dw
-    int8 = getattr(c, "int8", False) or int8_grad
+    int4 = getattr(c, "int4", False)
+    int8 = getattr(c, "int8", False) or int8_grad or int4
     fused_mlp = getattr(c, "fused_mlp", None)
     if fused_mlp is None:
         # bf16 fused_mlp regresses res-vit (in-kernel recompute vs XLA's
@@ -186,6 +191,7 @@ def config_to_model_args(c) -> "resvit_arch_config":
         fused_mlp=fused_mlp, remat=remat,
         int8_attn=int8, int8_attn_grad=int8_grad,
         int8_mlp=int8, int8_mlp_grad=int8_grad, int8_dw=int8_dw,
+        int4_mlp=int4,
         fused_mlp_save=getattr(c, "save_acts", False),
         compact_capacity=getattr(c, "compact_capacity", None),
         use_pallas=False if c.no_pallas else None)
