@@ -28,6 +28,8 @@ def main():
                     help="fused_mlp_save: backward from saved int8 h1q/gpq")
     ap.add_argument("--int4", action="store_true",
                     help="A4W4 int4 MLP forward (overrides int8 fwd)")
+    ap.add_argument("--int4-attn", action="store_true",
+                    help="A4W4 int4 qkv/out-projection forward too")
     args = ap.parse_args()
 
     from vitax.core.config import arch_config
@@ -40,7 +42,7 @@ def main():
     if not args.bf16:
         kw.update(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
                   int8_attn_grad=True, int8_dw=not args.no_int8_dw,
-                  int4_mlp=args.int4)
+                  int4_mlp=args.int4, int4_attn=args.int4_attn)
     cfg = arch_config("b16", image_size=224, num_classes=100,
                       dtype=jnp.bfloat16, use_pallas=False, **kw)
     params = vit.init_params(jax.random.PRNGKey(0), cfg)

@@ -39,6 +39,9 @@ def main():
                         "params")
     p.add_argument("--compact", type=float, default=None,
                    help="compact_capacity: student-MLP token compaction")
+    p.add_argument("--no-compact-attn", action="store_true",
+                   help="A/B: disable the rect (compacted-Q) attention "
+                        "kernel inside the compact path")
     p.add_argument("--steps", type=int, default=40)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--compile-only", action="store_true")
@@ -67,6 +70,7 @@ def main():
         int8_dw=a.int8_dw,
         int4_mlp=a.fused_mlp and a.int4,
         compact_capacity=a.compact,
+        compact_attention=not a.no_compact_attn,
         use_pallas=False)
     print(f"backend={jax.default_backend()} batch={a.batch} remat={remat} "
           f"fused={not a.no_fused} fused_mlp={a.fused_mlp} "

@@ -313,6 +313,51 @@ def test_ln_qkvo_int8_close_to_fp_and_grads_exact():
                                    rtol=1e-6, atol=1e-6, err_msg=name)
 
 
+def test_ln_qkvo_int4_close_to_fp_and_grads_exact():
+    """A4W4 projections in the attention-half forward (int4 tier): output
+    within the wide 15-level dynamic-quant band of the fp forward (guards
+    broken scales, not tight accuracy — PERF.md documents the band), and
+    gradients EXACTLY equal to the fp variant's under a linear loss
+    (int4 applies to the forward only; the backward kernel is shared)."""
+    b, s_, d, h, hd = 2, 64, 128, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(23), 6)
+    x = jax.random.normal(ks[0], (b, s_, d))
+    g = jnp.ones((d,), jnp.float32)
+    be = jnp.zeros((d,), jnp.float32)
+    wqkv = (jax.random.normal(ks[1], (d, 3 * d)) * d ** -0.5)
+    bqkv = jax.random.normal(ks[2], (3 * d,)) * 0.02
+    wo = (jax.random.normal(ks[3], (d, d)) * d ** -0.5)
+    bo = jax.random.normal(ks[4], (d,)) * 0.02
+
+    out_fp = pk.fused_ln_qkvo_attention(x, g, be, wqkv, bqkv, wo, bo,
+                                        1e-5, s_, h, hd)
+    out_q = pk.fused_ln_qkvo_attention(x, g, be, wqkv, bqkv, wo, bo,
+                                       1e-5, s_, h, hd, False, False, False,
+                                       True)
+    scale = float(jnp.mean(jnp.abs(out_fp)))
+    assert float(jnp.mean(jnp.abs(out_q - out_fp))) < 0.6 * scale + 0.05
+
+    def loss(**kw):
+        def f(x, wqkv, wo):
+            return jnp.sum(pk.fused_ln_qkvo_attention(
+                x, g, be, wqkv, bqkv, wo, bo, 1e-5, s_, h, hd, **kw))
+        return f
+
+    ga = jax.grad(loss(), argnums=(0, 1, 2))(x, wqkv, wo)
+    gb = jax.grad(loss(int4=True), argnums=(0, 1, 2))(x, wqkv, wo)
+    for name, a, b_ in zip("x wqkv wo".split(), ga, gb):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+    g8 = jax.grad(loss(int8=True, int8_grad=True, int8_dw=True),
+                  argnums=(0, 1, 2))(x, wqkv, wo)
+    g4 = jax.grad(loss(int4=True, int8=True, int8_grad=True, int8_dw=True),
+                  argnums=(0, 1, 2))(x, wqkv, wo)
+    for name, a, b_ in zip("x wqkv wo".split(), g8, g4):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
 def test_ln_mlp_int8_grad_close_to_fp():
     """SwitchBack backward (int8 dx-path): dx/dW within quantization error
     of the fp grads; db2 exact (no quantized operand on its path)."""
@@ -495,6 +540,117 @@ def test_ln_mlp_int8_save_int8_dw():
     ga = jax.grad(loss(False), argnums=(3, 5))(*args)
     gb = jax.grad(loss(True), argnums=(3, 5))(*args)
     for name, a, b_ in zip("w1 w2".split(), ga, gb):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(b_ - a)))
+        assert err < 0.06 * scale, (name, err, scale)
+
+
+def _rect_setup(key, b=2, s=37, cap=17, d=128, h=4, hd=32):
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (b, s, d))
+    g = 1.0 + 0.1 * jax.random.normal(ks[5], (d,), jnp.float32)
+    be = 0.1 * jax.random.normal(ks[4], (d,), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (d, 3 * h * hd)) * d ** -0.5
+    bqkv = jax.random.normal(ks[2], (3 * h * hd,)) * 0.02
+    wo = jax.random.normal(ks[3], (h * hd, d)) * d ** -0.5
+    bo = jnp.zeros((d,), jnp.float32)
+    # arbitrary per-image gather indices (unique, unsorted)
+    idx = jnp.stack([jax.random.permutation(jax.random.fold_in(key, i), s
+                                            )[:cap] for i in range(b)])
+    return x, g, be, wqkv, bqkv, wo, bo, idx
+
+
+def _pad_rows(t, rows):
+    return jnp.pad(t, ((0, 0), (0, rows - t.shape[1]), (0, 0)))
+
+
+def test_ln_qkvo_rect_matches_square_gather():
+    """Rect (compacted-Q) fused attention == square kernel + row gather:
+    forward bit-close (identical per-row math) for bf16 AND int8 paths."""
+    b, s, cap, d, h, hd = 2, 37, 17, 128, 4, 32
+    x, g, be, wqkv, bqkv, wo, bo, idx = _rect_setup(
+        jax.random.PRNGKey(31), b, s, cap, d, h, hd)
+    spq = (s + 7) // 8 * 8
+    cpq = (cap + 7) // 8 * 8
+    xp = _pad_rows(x, spq)
+    xc = jnp.take_along_axis(x, idx[..., None], axis=1)
+    xcp = _pad_rows(xc, cpq)
+    for int8 in (False, True):
+        sq = pk.fused_ln_qkvo_attention(xp, g, be, wqkv, bqkv, wo, bo,
+                                        1e-5, s, h, hd, int8)[:, :s]
+        ref = jnp.take_along_axis(sq, idx[..., None], axis=1)
+        rect = pk.fused_ln_qkvo_attention_rect(
+            xcp, xp, g, be, wqkv, bqkv, wo, bo, 1e-5, s, h, hd,
+            int8)[:, :cap]
+        np.testing.assert_allclose(np.asarray(rect), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"int8={int8}")
+
+
+def test_ln_qkvo_rect_grads_match_square_gather():
+    """Gradients of the rect path == gradients of square+gather (the outer
+    one-hot gather transpose scatters dxc; LN backward is linear in the
+    cotangent, so the split-row-set formulation is exact up to fp
+    associativity)."""
+    b, s, cap, d, h, hd = 2, 37, 17, 128, 4, 32
+    x, g, be, wqkv, bqkv, wo, bo, idx = _rect_setup(
+        jax.random.PRNGKey(32), b, s, cap, d, h, hd)
+    spq = (s + 7) // 8 * 8
+    cpq = (cap + 7) // 8 * 8
+    onehot = (idx[:, :, None] == jnp.arange(s)[None, None, :]
+              ).astype(x.dtype)                                # [B, cap, S]
+
+    def loss_sq(x, g, be, wqkv, bqkv, wo, bo):
+        out = pk.fused_ln_qkvo_attention(
+            _pad_rows(x, spq), g, be, wqkv, bqkv, wo, bo,
+            1e-5, s, h, hd)[:, :s]
+        kept = jnp.einsum("bcs,bsd->bcd", onehot, out)
+        return jnp.sum(kept * (1 + 0.1 * jnp.arange(d)))
+
+    def loss_rect(x, g, be, wqkv, bqkv, wo, bo):
+        xc = jnp.einsum("bcs,bsd->bcd", onehot, x)
+        out = pk.fused_ln_qkvo_attention_rect(
+            _pad_rows(xc, cpq), _pad_rows(x, spq), g, be, wqkv, bqkv,
+            wo, bo, 1e-5, s, h, hd)[:, :cap]
+        return jnp.sum(out * (1 + 0.1 * jnp.arange(d)))
+
+    args = (x, g, be, wqkv, bqkv, wo, bo)
+    ga = jax.grad(loss_sq, argnums=tuple(range(7)))(*args)
+    gb = jax.grad(loss_rect, argnums=tuple(range(7)))(*args)
+    for name, a, b_ in zip("x g be wqkv bqkv wo bo".split(), ga, gb):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_ln_qkvo_rect_int8_grads_close_to_square():
+    """int8-grad (+int8_dw) rect backward vs square+gather: the per-row
+    dynamic quantization grids differ (dq/dkv rows are quantized separately
+    instead of as one [3·H·Hd] row), so equality holds to an int8-noise
+    band, mirroring the TP shard-split tolerance."""
+    b, s, cap, d, h, hd = 2, 37, 17, 128, 4, 32
+    x, g, be, wqkv, bqkv, wo, bo, idx = _rect_setup(
+        jax.random.PRNGKey(33), b, s, cap, d, h, hd)
+    spq = (s + 7) // 8 * 8
+    cpq = (cap + 7) // 8 * 8
+    onehot = (idx[:, :, None] == jnp.arange(s)[None, None, :]
+              ).astype(x.dtype)
+
+    def loss_sq(x, wqkv, wo):
+        out = pk.fused_ln_qkvo_attention(
+            _pad_rows(x, spq), g, be, wqkv, bqkv, wo, bo,
+            1e-5, s, h, hd, True, True, True)[:, :s]
+        return jnp.sum(jnp.einsum("bcs,bsd->bcd", onehot, out) ** 2)
+
+    def loss_rect(x, wqkv, wo):
+        xc = jnp.einsum("bcs,bsd->bcd", onehot, x)
+        out = pk.fused_ln_qkvo_attention_rect(
+            _pad_rows(xc, cpq), _pad_rows(x, spq), g, be, wqkv, bqkv,
+            wo, bo, 1e-5, s, h, hd, True, True, True)[:, :cap]
+        return jnp.sum(out ** 2)
+
+    ga = jax.grad(loss_sq, argnums=(0, 1, 2))(x, wqkv, wo)
+    gb = jax.grad(loss_rect, argnums=(0, 1, 2))(x, wqkv, wo)
+    for name, a, b_ in zip("x wqkv wo".split(), ga, gb):
         scale = float(jnp.max(jnp.abs(a))) + 1e-6
         err = float(jnp.max(jnp.abs(b_ - a)))
         assert err < 0.06 * scale, (name, err, scale)

@@ -173,3 +173,64 @@ def test_compact_capacity_cli_plumbing(tmp_path):
     c2 = get_train_config(["--dataset", "Synthetic", "--exp-root",
                            str(tmp_path)])
     assert config_to_model_args(c2).compact_capacity is None
+
+
+def test_compact_rect_attention_matches_square(monkeypatch):
+    """With the fused qkvo kernels active (interpret mode), the rect
+    (compacted-Q) attention path must reproduce the square-kernel-then-
+    gather compact path: same logits (tight) and same grads (up to fp
+    reassociation — the LN backward is split across the Q/KV row sets)."""
+    import dataclasses
+    from vitax.ops import pallas_kernels as pk
+    monkeypatch.setattr(pk, "_INTERPRET", True)
+    cfg = cfg_(use_lora=True, n_layers=3, dynamic_start_layer=1,
+               fused_qkv=True, fused_qkvo=True,
+               compact_capacity=0.6, compact_attention=True)
+    scfg = dataclasses.replace(cfg, compact_attention=False)
+    params = _randomized_router(
+        resvit.init_params(jax.random.PRNGKey(0), cfg), cfg,
+        jax.random.PRNGKey(9))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(7)
+    (l0, lg0), g0 = jax.value_and_grad(_train_loss, has_aux=True)(
+        params, x, scfg, rng)
+    (l1, lg1), g1 = jax.value_and_grad(_train_loss, has_aux=True)(
+        params, x, cfg, rng)
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg0),
+                               rtol=1e-5, atol=1e-6)
+    for (ka, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                               jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=str(ka))
+
+
+def test_compact_rect_attention_int8_close(monkeypatch):
+    """Same comparison with the int8 tiers on: forward row-quantization is
+    identical per row (tight), grads within an int8-noise band (the dq/dkv
+    rows quantize separately in the rect backward)."""
+    import dataclasses
+    from vitax.ops import pallas_kernels as pk
+    monkeypatch.setattr(pk, "_INTERPRET", True)
+    cfg = cfg_(use_lora=True, n_layers=3, dynamic_start_layer=1,
+               fused_qkv=True, fused_qkvo=True,
+               int8_attn=True, int8_attn_grad=True, int8_dw=True,
+               compact_capacity=0.6, compact_attention=True)
+    scfg = dataclasses.replace(cfg, compact_attention=False)
+    params = _randomized_router(
+        resvit.init_params(jax.random.PRNGKey(0), cfg), cfg,
+        jax.random.PRNGKey(9))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(7)
+    (l0, lg0), g0 = jax.value_and_grad(_train_loss, has_aux=True)(
+        params, x, scfg, rng)
+    (l1, lg1), g1 = jax.value_and_grad(_train_loss, has_aux=True)(
+        params, x, cfg, rng)
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg0),
+                               rtol=1e-4, atol=1e-5)
+    for (ka, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                               jax.tree_util.tree_leaves_with_path(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = float(np.max(np.abs(a))) + 1e-6
+        err = float(np.max(np.abs(b - a)))
+        assert err < 0.06 * scale + 1e-6, (str(ka), err, scale)

@@ -72,6 +72,9 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
                         "the attention projections; deepest-PRECISION tier, "
                         "~+3%% over int8, wide quantization band — see "
                         "PERF.md before using for real training)")
+    p.add_argument("--int4-attn", action="store_true",
+                   help="A4W4 int4 qkv/out-projection forward matmuls too "
+                        "(implies --int4; the attention core stays bf16)")
     p.add_argument("--int8-dw", action="store_true",
                    help="Jetfire per-block int8 dW matmuls in the MLP and "
                         "attention backwards (implies --int8-grad; deepest "

@@ -71,6 +71,10 @@ class ViTConfig:
     # int8_mlp_grad/int8_dw. Deepest-precision tier; accuracy evidence in
     # PERF.md. Experimental, off by default.
     int4_mlp: bool = False
+    # A4W4 int4 qkv/out-projection forward matmuls in the fused attention
+    # kernel (the attention core stays bf16/fp32); backward follows
+    # int8_attn_grad/int8_dw. Same opt-in tier as int4_mlp.
+    int4_attn: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -151,9 +155,16 @@ class ResViTConfig:
     # A4W4 int4 MLP forward matmuls (see ViTConfig.int4_mlp — deepest-
     # precision tier, wide quantization band, opt-in)
     int4_mlp: bool = False
+    # A4W4 int4 qkv/out-projection forward matmuls (see ViTConfig.int4_attn)
+    int4_attn: bool = False
     # persist (quantized) GELU activations/derivative in the fused MLP
     # forward so the backward skips the fc1 recompute (see ViTConfig)
     fused_mlp_save: bool = False
+    # with compact_capacity set: run the attention Q rows / core / out-proj
+    # only on the gathered rows too (rect fused kernel) — bit-exact vs the
+    # square kernel + gather because dropped rows' attention outputs are
+    # discarded by the merge anyway. Off switch exists for A/B only.
+    compact_attention: bool = True
     # Token compaction for routed-layer MLP halves (TRAIN and the masked
     # apply path; SURVEY §5 token sparsity generalized from the
     # inference-only resvit_compact): the student FFN runs only on the

@@ -295,20 +295,11 @@ def feed_forward(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return _linear(gelu_exact(h), p["fc2"])
 
 
-def _fused_attention_half(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
-                          mesh=None):
-    """LN + qkv(+LoRA fold) + attention + out-proj in ONE kernel for the
-    pre-LN input x; returns the half-block output WITHOUT residual, or
-    None when gated off. int8 tiers apply when enabled."""
-    if not (cfg.fused_qkv and cfg.fused_qkvo):
-        return None
-    hkv = cfg.n_kv_heads or cfg.n_heads
-    if hkv != cfg.n_heads or (mesh is not None):
-        return None  # TP path handles its own sharding in attention()
-    from vitax.ops import pallas_kernels as pk
+def _qkvo_weights(p: Params, cfg: ResViTConfig, dt):
+    """Assemble the merged [D,3D] qkv weight (LoRA folded exactly:
+    W_eff = W + A·B, identical grads) + biases + out-proj for the fused
+    attention kernels."""
     ap = p["attention"]
-    b, s, d = x.shape
-    dt = x.dtype
     wq_k, wk_k, wv_k = (ap["wq"]["kernel"], ap["wk"]["kernel"],
                         ap["wv"]["kernel"])
     if cfg.use_lora and "lora_q" in ap:
@@ -321,18 +312,70 @@ def _fused_attention_half(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
         wk_k = merged(wk_k, ap["lora_k"])
         wv_k = merged(wv_k, ap["lora_v"])
     wqkv = jnp.concatenate([wq_k, wk_k, wv_k], axis=1).astype(dt)
-    if not pk.qkv_attention_supported(x, wqkv):
-        return None
     bqkv = jnp.concatenate([ap["wq"]["bias"], ap["wk"]["bias"],
                             ap["wv"]["bias"]]).astype(jnp.float32)
+    return (wqkv, bqkv, ap["wo"]["kernel"].astype(dt),
+            ap["wo"]["bias"].astype(jnp.float32))
+
+
+def _fused_attention_half(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
+                          mesh=None):
+    """LN + qkv(+LoRA fold) + attention + out-proj in ONE kernel for the
+    pre-LN input x; returns the half-block output WITHOUT residual, or
+    None when gated off. int8 tiers apply when enabled."""
+    if not (cfg.fused_qkv and cfg.fused_qkvo):
+        return None
+    hkv = cfg.n_kv_heads or cfg.n_heads
+    if hkv != cfg.n_heads or (mesh is not None):
+        return None  # TP path handles its own sharding in attention()
+    from vitax.ops import pallas_kernels as pk
+    b, s, d = x.shape
+    dt = x.dtype
+    wqkv, bqkv, wo, bo = _qkvo_weights(p, cfg, dt)
+    if not pk.qkv_attention_supported(x, wqkv):
+        return None
     spq = (s + 7) // 8 * 8
     xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
     out = pk.fused_ln_qkvo_attention(
         xp, p["attention_norm"]["scale"].astype(jnp.float32),
         p["attention_norm"]["bias"].astype(jnp.float32), wqkv, bqkv,
-        ap["wo"]["kernel"].astype(dt), ap["wo"]["bias"].astype(jnp.float32),
-        cfg.norm_eps, s, cfg.n_heads, cfg.head_dim,
-        cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw)[:, :s]
+        wo, bo, cfg.norm_eps, s, cfg.n_heads, cfg.head_dim,
+        cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw,
+        getattr(cfg, "int4_attn", False))[:, :s]
+    return out.astype(dt)
+
+
+def _fused_attention_half_rect(x: jnp.ndarray, xc: jnp.ndarray, p: Params,
+                               cfg: ResViTConfig):
+    """Rect (compacted-Q) attention half for the token-compaction path:
+    Q / core rows / out-proj computed only for the gathered rows xc
+    [B,cap,D], K/V from all rows x [B,N,D]. Returns the attention-half
+    output for the xc rows WITHOUT residual, or None when gated off.
+    Bit-exact vs _fused_attention_half followed by a row gather — the
+    dropped rows' outputs were discarded by the compaction merge anyway
+    (see compact_routed_block)."""
+    if not (cfg.fused_qkv and cfg.fused_qkvo):
+        return None
+    hkv = cfg.n_kv_heads or cfg.n_heads
+    if hkv != cfg.n_heads:
+        return None
+    from vitax.ops import pallas_kernels as pk
+    b, s, d = x.shape
+    cap = xc.shape[1]
+    dt = x.dtype
+    wqkv, bqkv, wo, bo = _qkvo_weights(p, cfg, dt)
+    if not pk.qkv_attention_supported(x, wqkv):
+        return None
+    spq = (s + 7) // 8 * 8
+    cpq = (cap + 7) // 8 * 8
+    xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
+    xcp = (jnp.pad(xc, ((0, 0), (0, cpq - cap), (0, 0)))
+           if cpq != cap else xc)
+    out = pk.fused_ln_qkvo_attention_rect(
+        xcp, xp, p["attention_norm"]["scale"].astype(jnp.float32),
+        p["attention_norm"]["bias"].astype(jnp.float32), wqkv, bqkv,
+        wo, bo, cfg.norm_eps, s, cfg.n_heads, cfg.head_dim,
+        cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw)[:, :cap]
     return out.astype(dt)
 
 
@@ -393,27 +436,18 @@ def compact_routed_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
     `resvit_compact` to TRAINING): in the masked-dense formulation
     (res-vit/model.py:371-529 masked equivalent) an inactive token's entire
     block output is DISCARDED by the merge — only its K/V contribution
-    matters. K/V live in the attention half, so the attention half runs on
-    all tokens (the fused qkvo kernel unchanged), while the MLP half — 57%
-    of the block's matmul FLOPs — runs on the compacted [B·cap, D] rows
-    through the same fused int8 kernels (row-wise math, see `_mlp_half`).
-    Gradients flow through gather/scatter natively.
+    matters. So K and V are computed from all tokens, while the attention
+    Q rows / core rows / out-projection (rect fused kernel, when
+    cfg.compact_attention) AND the MLP half run only on the compacted
+    [B·cap, D] rows through the same fused int8 kernels (row-wise math,
+    see `_mlp_half`). Gradients flow through gather/scatter natively.
 
     Exactness: when every active token fits in `cap`, output == the dense
     path bitwise (per-row math on gathered rows). Active tokens beyond
     capacity fall back to identity — the standard DynamicViT-style capacity
     trade-off, same semantics as `resvit_compact.apply_compact`."""
     b, n, _ = x.shape
-    h_att = _fused_attention_half(x, p, cfg, mesh)
-    if h_att is None:
-        h_att = attention(layer_norm(x, p["attention_norm"]["scale"],
-                                     p["attention_norm"]["bias"],
-                                     cfg.norm_eps,
-                                     use_pallas=cfg.use_pallas),
-                          p["attention"], cfg, mesh)
     from jax.ad_checkpoint import checkpoint_name
-    h_att = checkpoint_name(h_att, "attn_out")
-    h = x + h_att
     # rank: active first, stable by original index (resvit_compact scheme)
     rank_key = (~active).astype(jnp.int32) * n + jnp.arange(n)[None, :]
     order = jnp.argsort(rank_key, axis=-1)                    # [B, N]
@@ -421,6 +455,7 @@ def compact_routed_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
     kept_active = jnp.take_along_axis(active, keep_idx, axis=1)
 
     merge = os.environ.get("VITAX_COMPACT_MERGE", "matmul")
+    h_c = None
     if merge == "matmul":
         # Permutation as one-hot matmuls: gathers AND the merge ride the
         # MXU, and every backward op is again a matmul — no TPU scatter
@@ -430,7 +465,28 @@ def compact_routed_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
         pt = (keep_idx[:, None, :] ==
               jnp.arange(n, dtype=keep_idx.dtype)[None, :, None]
               ).astype(x.dtype)                               # [B, N, cap]
-        h_c = jnp.einsum("bnc,bnd->bcd", pt, h)
+        if getattr(cfg, "compact_attention", True) and mesh is None:
+            # Rect attention: a dropped token's attention-half OUTPUT is
+            # discarded by the merge below — only its K/V contribution
+            # survives — so gather x FIRST and compute Q / the core rows /
+            # the out-projection only for the kept rows (bit-exact vs the
+            # square kernel + gather, minus the dead rows' FLOPs).
+            x_c = jnp.einsum("bnc,bnd->bcd", pt, x)
+            attn_c = _fused_attention_half_rect(x, x_c, p, cfg)
+            if attn_c is not None:
+                h_c = x_c + checkpoint_name(attn_c, "attn_out")
+    if h_c is None or merge != "matmul":
+        h_att = _fused_attention_half(x, p, cfg, mesh)
+        if h_att is None:
+            h_att = attention(layer_norm(x, p["attention_norm"]["scale"],
+                                         p["attention_norm"]["bias"],
+                                         cfg.norm_eps,
+                                         use_pallas=cfg.use_pallas),
+                              p["attention"], cfg, mesh)
+        h = x + checkpoint_name(h_att, "attn_out")
+    if merge == "matmul":
+        if h_c is None:
+            h_c = jnp.einsum("bnc,bnd->bcd", pt, h)
         out_c = _mlp_half(h_c, p, cfg).astype(x.dtype)
         out_c = jnp.where(kept_active[..., None], out_c, 0)
         back = jnp.einsum("bnc,bcd->bnd", pt, out_c)

@@ -2372,6 +2372,62 @@ def _ln_qkvo_fwd_int8_kernel(x_ref, g_ref, be_ref, w8_ref, sw_ref, b_ref,
     o_ref[:] = y.reshape(tile, spq, d)
 
 
+def _ln_qkvo_fwd_int4_kernel(x_ref, g_ref, be_ref, w4_ref, sw_ref, b_ref,
+                             wo4_ref, swo_ref, bo_ref, o_ref, *, eps, scale,
+                             seq_len, heads, head_dim, tile):
+    """A4W4 variant of the int8 projection kernel: the qkv and out
+    projections run on the int4 MXU path (probe-measured 1.32x the int8
+    rate in a gridded kernel, scripts/int4_probe.py); the attention core
+    (scores, softmax, PV) stays bf16/fp32 — the int8 core probes already
+    measured negative, and 15-level score operands would be hopeless.
+    Same opt-in accuracy tier as _ln_mlp_fwd_int4_kernel (PERF.md)."""
+    spq = x_ref.shape[1]
+    d = x_ref.shape[2]
+    x = x_ref[:].reshape(tile * spq, d).astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xhat = xc * jax.lax.rsqrt(var + eps)
+    xn32 = xhat * g_ref[:].astype(jnp.float32) \
+        + be_ref[:].astype(jnp.float32)
+    xq, sx = _quant_rows4(xn32)
+    qkv = jax.lax.dot_general(xq, w4_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32
+                              ).astype(jnp.float32) * sx * sw_ref[:]
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+    ss = []
+    for t, h in ths:
+        sl = slice(t * spq, (t + 1) * spq)
+        o = h * head_dim
+        q = qkv[sl, o:o + head_dim]
+        k = qkv[sl, hhd + o:hhd + o + head_dim]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        ss.append(s)
+    pss = [_softmax_rows(s) for s in ss]
+    outs = []
+    for (t, h), p in zip(ths, pss):
+        sl = slice(t * spq, (t + 1) * spq)
+        o = h * head_dim
+        v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
+        outs.append(jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(
+        [jnp.concatenate(outs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
+    aq, sa = _quant_rows4(attn)
+    y = jax.lax.dot_general(aq, wo4_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32) * sa * swo_ref[:]
+    y = (y + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = y.reshape(tile, spq, d)
+
+
 def _attn_core_recompute(qkv, ths, spq, hhd, head_dim, scale, seq_len, col,
                          tile, heads, dtype):
     """Staged scores -> softmaxes -> PVs for (tile x heads) pairs; returns
@@ -2632,21 +2688,50 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
 def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
                             eps, seq_len, heads, head_dim, int8=False,
-                            int8_grad=False, int8_dw=False):
+                            int8_grad=False, int8_dw=False, int4=False):
     """LN + QKV projection + attention core + out-projection in one kernel.
     Takes the PRE-LN block input x [B,SPQ,D] (pad rows zero-filled);
     backward emits dx through the LN and accumulates dγ/dβ/dW/db/dWo/dbo.
     int8=True runs both projections W8A8 (bwd stays bf16 recompute);
-    int8_dw adds Jetfire-style per-block int8 dW/dWo matmuls."""
+    int8_dw adds Jetfire-style per-block int8 dW/dWo matmuls.
+    int4=True runs the FORWARD projections A4W4 (overrides int8 forward;
+    the backward still follows int8_grad/int8_dw) — same opt-in accuracy
+    tier as fused_ln_mlp's int4."""
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
     tile = _qkvo_tile(b)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
+    if int4:
+        w4, sw = _quant_cols_host4(wqkv)
+        wo4, swo = _quant_cols_host4(wo)
+        return pl.pallas_call(
+            functools.partial(_ln_qkvo_fwd_int4_kernel, eps=eps, scale=scale,
+                              seq_len=seq_len, heads=heads,
+                              head_dim=head_dim, tile=tile),
+            grid=(b // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(d), vec(d),
+                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(3 * hhd), vec(3 * hhd),
+                pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(d), vec(d),
+            ],
+            out_specs=pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, spq, d), x.dtype),
+            interpret=_INTERPRET,
+            **_VMEM_LIMIT,
+        )(x, gamma, beta, w4, sw, bqkv, wo4, swo, bo)
     if int8:
         w8, sw = _quant_cols_host(wqkv)
         wo8, swo = _quant_cols_host(wo)
@@ -2697,10 +2782,10 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
 
 def _fused_ln_qkvo_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
                        eps, seq_len, heads, head_dim, int8=False,
-                       int8_grad=False, int8_dw=False):
+                       int8_grad=False, int8_dw=False, int4=False):
     out = fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
                                   eps, seq_len, heads, head_dim, int8,
-                                  int8_grad, int8_dw)
+                                  int8_grad, int8_dw, int4)
     return out, (x, gamma, beta, wqkv, bqkv, wo)
 
 
@@ -2715,7 +2800,11 @@ def _qkvo_bwd_tile(b: int) -> int:
 
 
 def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
-                       int8_dw, res, do):
+                       int8_dw, int4, res, do):
+    # int4 applies to the forward projections only; the backward recompute
+    # and gradient matmuls follow the int8_grad/int8_dw tiers unchanged
+    # (same contract as fused_ln_mlp's int4 — int4 GRADIENTS are where
+    # quantized training actually diverges, PERF.md).
     x, gamma, beta, wqkv, bqkv, wo = res
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
@@ -2816,3 +2905,554 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
 
 
 fused_ln_qkvo_attention.defvjp(_fused_ln_qkvo_fwd, _fused_ln_qkvo_bwd)
+
+
+# =============================================================================
+# Rectangular (compacted-Q) fused attention half — token-compaction support
+#
+# In the capacity-compaction path (models/resvit.compact_routed_block — the
+# TPU-native form of the reference's data-dependent token routing,
+# res-vit/model.py:371-529) an inactive token's entire block output is
+# DISCARDED by the merge; only its K/V contribution survives. The square
+# kernel still computes Q rows / core rows / the out-projection for every
+# token; these rectangular variants compute them ONLY for the top-capacity
+# gathered rows (xc) while K and V still come from all rows (x).
+# Bit-exact vs running the square kernel and gathering afterwards: every
+# row-wise quantity (LN statistics, int8 row scales, softmax) is computed
+# per row on identical row values — the rect form just skips the dead rows.
+# =============================================================================
+
+def _rect_core_recompute(q, kv, ths, cpq, spq, hhd, head_dim, scale,
+                         seq_len, col, tile, heads, dtype):
+    """Staged rect attention core: q [tile*cpq, hhd], kv [tile*spq, 2*hhd]
+    (K columns first, then V) → (probs, per-pair outs, attn [tile*cpq, hhd])."""
+    ss = []
+    for t, h in ths:
+        o = h * head_dim
+        s = jax.lax.dot_general(q[t * cpq:(t + 1) * cpq, o:o + head_dim],
+                                kv[t * spq:(t + 1) * spq, o:o + head_dim],
+                                _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        ss.append(s)
+    ps = [_softmax_rows(s) for s in ss]
+    outs = []
+    for (t, h), p in zip(ths, ps):
+        o = hhd + h * head_dim
+        v = kv[t * spq:(t + 1) * spq, o:o + head_dim]
+        outs.append(jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32
+                            ).astype(dtype))
+    attn = jnp.concatenate(
+        [jnp.concatenate(outs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
+    return ps, outs, attn
+
+
+def _rect_core_grads(q, kv, ps, outs, dattn, ths, cpq, spq, hhd, head_dim,
+                     scale, tile, heads, dtype):
+    """Rect attention-core gradients: returns dq [tile*cpq, hhd] and
+    dkv [tile*spq, 2*hhd]. Same dot_general forms as the square
+    _attn_core_grads — dk/dv naturally land on the KV (full) row set."""
+    def slq(t):
+        return slice(t * cpq, (t + 1) * cpq)
+
+    def slk(t):
+        return slice(t * spq, (t + 1) * spq)
+    dps = []
+    for t, h in ths:
+        o = h * head_dim
+        v = kv[slk(t), hhd + o:hhd + o + head_dim]
+        do = dattn[slq(t), o:o + head_dim]
+        dps.append(jax.lax.dot_general(do, v, _AB_T,
+                                       preferred_element_type=jnp.float32))
+    dss = []
+    for (t, h), p, dp, out_h in zip(ths, ps, dps,
+                                    [o_.astype(jnp.float32) for o_ in outs]):
+        o = h * head_dim
+        do = dattn[slq(t), o:o + head_dim]
+        dd = jnp.sum(do.astype(jnp.float32) * out_h, axis=-1, keepdims=True)
+        dss.append((p * (dp - dd)).astype(dtype))
+    dqs, dks, dvs = [], [], []
+    for (t, h), p, ds in zip(ths, ps, dss):
+        o = h * head_dim
+        qh = q[slq(t), o:o + head_dim]
+        kh = kv[slk(t), o:o + head_dim]
+        do = dattn[slq(t), o:o + head_dim]
+        dqs.append((jnp.dot(ds, kh, preferred_element_type=jnp.float32)
+                    * scale).astype(dtype))
+        dks.append((jax.lax.dot_general(ds, qh, _AT_B,
+                                        preferred_element_type=jnp.float32)
+                    * scale).astype(dtype))
+        dvs.append(jax.lax.dot_general(p.astype(do.dtype), do, _AT_B,
+                                       preferred_element_type=jnp.float32
+                                       ).astype(dtype))
+    dq = jnp.concatenate(
+        [jnp.concatenate(dqs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
+    dkv = jnp.concatenate(
+        [jnp.concatenate(dks[t * heads:(t + 1) * heads]
+                         + dvs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
+    return dq, dkv
+
+
+def _ln_stats(v32, eps):
+    mu = jnp.mean(v32, axis=-1, keepdims=True)
+    vc = v32 - mu
+    var = jnp.mean(vc * vc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    return vc * rstd, rstd
+
+
+def _ln_qkvo_rect_fwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
+                             wo_ref, bo_ref, o_ref, *, eps, scale, seq_len,
+                             heads, head_dim, tile):
+    cpq = xc_ref.shape[1]
+    spq = x_ref.shape[1]
+    d = x_ref.shape[2]
+    hhd = heads * head_dim
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    b32 = b_ref[:].astype(jnp.float32)
+    w = w_ref[:]
+
+    xhat_q, _ = _ln_stats(xc_ref[:].reshape(tile * cpq, d)
+                          .astype(jnp.float32), eps)
+    xn_q = (xhat_q * g32 + be32).astype(xc_ref.dtype)
+    xhat_k, _ = _ln_stats(x_ref[:].reshape(tile * spq, d)
+                          .astype(jnp.float32), eps)
+    xn_k = (xhat_k * g32 + be32).astype(x_ref.dtype)
+
+    q = (jnp.dot(xn_q, w[:, :hhd], preferred_element_type=jnp.float32)
+         + b32[:hhd]).astype(xn_q.dtype)
+    kv = (jnp.dot(xn_k, w[:, hhd:], preferred_element_type=jnp.float32)
+          + b32[hhd:]).astype(xn_k.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (cpq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+    _, _, attn = _rect_core_recompute(q, kv, ths, cpq, spq, hhd, head_dim,
+                                      scale, seq_len, col, tile, heads,
+                                      xn_q.dtype)
+    y = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+    y = (y + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = y.reshape(tile, cpq, d)
+
+
+def _ln_qkvo_rect_fwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, w8_ref,
+                                  sw_ref, b_ref, wo8_ref, swo_ref, bo_ref,
+                                  o_ref, *, eps, scale, seq_len, heads,
+                                  head_dim, tile):
+    """int8 rect forward: same W8A8 projections as the square int8 kernel
+    (per-row activation / per-column weight), core bf16/fp32. Row scales of
+    the gathered rows equal the square kernel's for those rows, so the
+    output is bit-exact vs square-then-gather."""
+    cpq = xc_ref.shape[1]
+    spq = x_ref.shape[1]
+    d = x_ref.shape[2]
+    hhd = heads * head_dim
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    b32 = b_ref[:].astype(jnp.float32)
+    sw = sw_ref[:]
+    w8 = w8_ref[:]
+
+    xhat_q, _ = _ln_stats(xc_ref[:].reshape(tile * cpq, d)
+                          .astype(jnp.float32), eps)
+    xq_c, sx_c = _quant_rows(xhat_q * g32 + be32)
+    xhat_k, _ = _ln_stats(x_ref[:].reshape(tile * spq, d)
+                          .astype(jnp.float32), eps)
+    xq_k, sx_k = _quant_rows(xhat_k * g32 + be32)
+
+    q = (jax.lax.dot_general(xq_c, w8[:, :hhd], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * sx_c * sw[:hhd]
+         + b32[:hhd]).astype(xc_ref.dtype)
+    kv = (jax.lax.dot_general(xq_k, w8[:, hhd:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32
+                              ).astype(jnp.float32) * sx_k * sw[hhd:]
+          + b32[hhd:]).astype(x_ref.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (cpq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+    _, _, attn32 = _rect_core_recompute(q, kv, ths, cpq, spq, hhd, head_dim,
+                                        scale, seq_len, col, tile, heads,
+                                        jnp.float32)
+    aq, sa = _quant_rows(attn32)
+    y = jax.lax.dot_general(aq, wo8_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32) * sa * swo_ref[:]
+    y = (y + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = y.reshape(tile, cpq, d)
+
+
+def _ln_qkvo_rect_bwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
+                             wo_ref, do_ref,
+                             dxc_ref, dx_ref, dg_ref, dbe_ref, dw_ref,
+                             db_ref, dwo_ref, dbo_ref, *, eps, scale,
+                             seq_len, heads, head_dim, tile):
+    """Rect backward (bf16): recomputes both LNs + the rect projections +
+    core in VMEM, forms dq/dkv, and emits dxc (compacted Q rows) AND dx
+    (full KV rows) — the caller's gather transpose scatters dxc back into
+    the full row set. dγ/dβ accumulate from BOTH LN row sets (the gathered
+    rows legitimately pass through the LN twice: once for Q, once for K/V —
+    identical to the square path where both uses share one LN)."""
+    i = pl.program_id(0)
+    cpq = xc_ref.shape[1]
+    spq = x_ref.shape[1]
+    d_model = x_ref.shape[2]
+    hhd = heads * head_dim
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    b32 = b_ref[:].astype(jnp.float32)
+    w = w_ref[:]
+    do_y = do_ref[:].reshape(tile * cpq, d_model)
+
+    xhat_q, rstd_q = _ln_stats(xc_ref[:].reshape(tile * cpq, d_model)
+                               .astype(jnp.float32), eps)
+    xn_q32 = xhat_q * g32 + be32
+    xn_q = xn_q32.astype(xc_ref.dtype)
+    xhat_k, rstd_k = _ln_stats(x_ref[:].reshape(tile * spq, d_model)
+                               .astype(jnp.float32), eps)
+    xn_k32 = xhat_k * g32 + be32
+    xn_k = xn_k32.astype(x_ref.dtype)
+
+    q = (jnp.dot(xn_q, w[:, :hhd], preferred_element_type=jnp.float32)
+         + b32[:hhd]).astype(xn_q.dtype)
+    kv = (jnp.dot(xn_k, w[:, hhd:], preferred_element_type=jnp.float32)
+          + b32[hhd:]).astype(xn_k.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (cpq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+    ps, outs, attn = _rect_core_recompute(q, kv, ths, cpq, spq, hhd,
+                                          head_dim, scale, seq_len, col,
+                                          tile, heads, xn_q.dtype)
+
+    dattn = jax.lax.dot_general(do_y, wo_ref[:], _AB_T,
+                                preferred_element_type=jnp.float32
+                                ).astype(xn_q.dtype)
+    dwo_part = jax.lax.dot_general(attn, do_y, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
+
+    dq, dkv = _rect_core_grads(q, kv, ps, outs, dattn, ths, cpq, spq, hhd,
+                               head_dim, scale, tile, heads, xn_q.dtype)
+
+    dxn_q = jax.lax.dot_general(dq, w[:, :hhd], _AB_T,
+                                preferred_element_type=jnp.float32)
+    dxn_k = jax.lax.dot_general(dkv, w[:, hhd:], _AB_T,
+                                preferred_element_type=jnp.float32)
+
+    def lnbwd(dxn, xhat, rstd):
+        dyg = dxn * g32
+        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+        return rstd * (dyg - m1 - xhat * m2)
+
+    dxc_ref[:] = lnbwd(dxn_q, xhat_q, rstd_q).astype(
+        dxc_ref.dtype).reshape(tile, cpq, d_model)
+    dx_ref[:] = lnbwd(dxn_k, xhat_k, rstd_k).astype(
+        dx_ref.dtype).reshape(tile, spq, d_model)
+
+    dg_part = jnp.sum(dxn_q * xhat_q, axis=0) + jnp.sum(dxn_k * xhat_k,
+                                                        axis=0)
+    dbe_part = jnp.sum(dxn_q, axis=0) + jnp.sum(dxn_k, axis=0)
+    dw_part = jnp.concatenate(
+        [jax.lax.dot_general(xn_q, dq, _AT_B,
+                             preferred_element_type=jnp.float32),
+         jax.lax.dot_general(xn_k, dkv, _AT_B,
+                             preferred_element_type=jnp.float32)], axis=1)
+    db_part = jnp.concatenate([jnp.sum(dq.astype(jnp.float32), axis=0),
+                               jnp.sum(dkv.astype(jnp.float32), axis=0)])
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw_ref[:] = dw_part
+        db_ref[:] = db_part
+        dwo_ref[:] = dwo_part
+        dbo_ref[:] = dbo_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw_ref[:] = dw_ref[:] + dw_part
+        db_ref[:] = db_ref[:] + db_part
+        dwo_ref[:] = dwo_ref[:] + dwo_part
+        dbo_ref[:] = dbo_ref[:] + dbo_part
+
+
+def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, b_ref,
+                                  w8_ref, sw_ref, wq8r_ref, swqr_ref,
+                                  wkv8r_ref, swkvr_ref, wo8r_ref, swor_ref,
+                                  do_ref,
+                                  dxc_ref, dx_ref, dg_ref, dbe_ref, dw_ref,
+                                  db_ref, dwo_ref, dbo_ref, *, eps, scale,
+                                  seq_len, heads, head_dim, tile,
+                                  int8_dw=False):
+    """int8 rect backward: W8A8 recompute + dL/dx-path projections (dattn,
+    dxn_q, dxn_k), bf16 core grads, optional Jetfire-style int8 dW with the
+    same row-scale folding as the square kernel (the per-row int8 tensors
+    from the dx-path matmuls are reused as dW operands)."""
+    i = pl.program_id(0)
+    cpq = xc_ref.shape[1]
+    spq = x_ref.shape[1]
+    d_model = x_ref.shape[2]
+    hhd = heads * head_dim
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    b32 = b_ref[:].astype(jnp.float32)
+    sw = sw_ref[:]
+    w8 = w8_ref[:]
+    do_y = do_ref[:].reshape(tile * cpq, d_model)
+
+    xhat_q, rstd_q = _ln_stats(xc_ref[:].reshape(tile * cpq, d_model)
+                               .astype(jnp.float32), eps)
+    xn_q32 = xhat_q * g32 + be32
+    xhat_k, rstd_k = _ln_stats(x_ref[:].reshape(tile * spq, d_model)
+                               .astype(jnp.float32), eps)
+    xn_k32 = xhat_k * g32 + be32
+
+    xq_c, _sxc = _quant_rows(xn_q32)
+    xq_k, _sxk = _quant_rows(xn_k32)
+    q = (jax.lax.dot_general(xq_c, w8[:, :hhd], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * _sxc * sw[:hhd]
+         + b32[:hhd]).astype(xc_ref.dtype)
+    kv = (jax.lax.dot_general(xq_k, w8[:, hhd:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32
+                              ).astype(jnp.float32) * _sxk * sw[hhd:]
+          + b32[hhd:]).astype(x_ref.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (cpq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+    ps, outs, attn = _rect_core_recompute(q, kv, ths, cpq, spq, hhd,
+                                          head_dim, scale, seq_len, col,
+                                          tile, heads, q.dtype)
+
+    doq, sdo = _quant_rows(do_y.astype(jnp.float32))
+    dattn32 = jax.lax.dot_general(doq, wo8r_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32
+                                  ).astype(jnp.float32) * sdo * swor_ref[:]
+    dattn = dattn32.astype(q.dtype)
+    if int8_dw:
+        attnq, sat = _quant_cols(attn.astype(jnp.float32) * sdo)
+        dwo_part = jax.lax.dot_general(
+            attnq, doq, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sat[0][:, None]
+    else:
+        dwo_part = jax.lax.dot_general(attn, do_y, _AT_B,
+                                       preferred_element_type=jnp.float32)
+    dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
+
+    dq, dkv = _rect_core_grads(q, kv, ps, outs, dattn, ths, cpq, spq, hhd,
+                               head_dim, scale, tile, heads, q.dtype)
+
+    dqq, sdq = _quant_rows(dq.astype(jnp.float32))
+    dxn_q = jax.lax.dot_general(dqq, wq8r_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sdq * swqr_ref[:]
+    dkvq, sdkv = _quant_rows(dkv.astype(jnp.float32))
+    dxn_k = jax.lax.dot_general(dkvq, wkv8r_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sdkv * swkvr_ref[:]
+
+    def lnbwd(dxn, xhat, rstd):
+        dyg = dxn * g32
+        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+        return rstd * (dyg - m1 - xhat * m2)
+
+    dxc_ref[:] = lnbwd(dxn_q, xhat_q, rstd_q).astype(
+        dxc_ref.dtype).reshape(tile, cpq, d_model)
+    dx_ref[:] = lnbwd(dxn_k, xhat_k, rstd_k).astype(
+        dx_ref.dtype).reshape(tile, spq, d_model)
+
+    dg_part = jnp.sum(dxn_q * xhat_q, axis=0) + jnp.sum(dxn_k * xhat_k,
+                                                        axis=0)
+    dbe_part = jnp.sum(dxn_q, axis=0) + jnp.sum(dxn_k, axis=0)
+    if int8_dw:
+        # row-scale folding (square-kernel scheme): reuse dqq/dkvq as the
+        # dW operands, folding their row scales into xn before its per-
+        # column quantization
+        xnq_c, sxn_c = _quant_cols(xn_q32 * sdq)
+        dwq_part = jax.lax.dot_general(
+            xnq_c, dqq, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sxn_c[0][:, None]
+        xnq_k, sxn_k = _quant_cols(xn_k32 * sdkv)
+        dwkv_part = jax.lax.dot_general(
+            xnq_k, dkvq, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sxn_k[0][:, None]
+        dw_part = jnp.concatenate([dwq_part, dwkv_part], axis=1)
+    else:
+        dw_part = jnp.concatenate(
+            [jax.lax.dot_general(xn_q32.astype(q.dtype), dq, _AT_B,
+                                 preferred_element_type=jnp.float32),
+             jax.lax.dot_general(xn_k32.astype(q.dtype), dkv, _AT_B,
+                                 preferred_element_type=jnp.float32)],
+            axis=1)
+    db_part = jnp.concatenate([jnp.sum(dq.astype(jnp.float32), axis=0),
+                               jnp.sum(dkv.astype(jnp.float32), axis=0)])
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw_ref[:] = dw_part
+        db_ref[:] = db_part
+        dwo_ref[:] = dwo_part
+        dbo_ref[:] = dbo_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw_ref[:] = dw_ref[:] + dw_part
+        db_ref[:] = db_ref[:] + db_part
+        dwo_ref[:] = dwo_ref[:] + dwo_part
+        dbo_ref[:] = dbo_ref[:] + dbo_part
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
+                                 eps, seq_len, heads, head_dim, int8=False,
+                                 int8_grad=False, int8_dw=False):
+    """Rect attention half for token compaction: Q / core rows / out-proj
+    on the compacted rows xc [B, CPQ, D] (pad rows zero-filled), K/V on the
+    full rows x [B, SPQ, D]. Returns the attention-half output for the
+    COMPACTED rows [B, CPQ, D], WITHOUT residual. Same int8 tiers as
+    fused_ln_qkvo_attention; bit-exact vs square-then-gather."""
+    scale = 1.0 / math.sqrt(head_dim)
+    b, cpq, d = xc.shape
+    spq = x.shape[1]
+    hhd = heads * head_dim
+    tile = _qkvo_tile(b)
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    blk = lambda rows: pl.BlockSpec((tile, rows, d), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    if int8:
+        w8, sw = _quant_cols_host(wqkv)
+        wo8, swo = _quant_cols_host(wo)
+        return pl.pallas_call(
+            functools.partial(_ln_qkvo_rect_fwd_int8_kernel, eps=eps,
+                              scale=scale, seq_len=seq_len, heads=heads,
+                              head_dim=head_dim, tile=tile),
+            grid=(b // tile,),
+            in_specs=[
+                blk(cpq), blk(spq), vec(d), vec(d),
+                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(3 * hhd), vec(3 * hhd),
+                pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec(d), vec(d),
+            ],
+            out_specs=blk(cpq),
+            out_shape=jax.ShapeDtypeStruct((b, cpq, d), xc.dtype),
+            interpret=_INTERPRET,
+            **_VMEM_LIMIT,
+        )(xc, x, gamma, beta, w8, sw, bqkv, wo8, swo, bo)
+    return pl.pallas_call(
+        functools.partial(_ln_qkvo_rect_fwd_kernel, eps=eps, scale=scale,
+                          seq_len=seq_len, heads=heads, head_dim=head_dim,
+                          tile=tile),
+        grid=(b // tile,),
+        in_specs=[
+            blk(cpq), blk(spq), vec(d), vec(d),
+            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(3 * hhd),
+            pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(d),
+        ],
+        out_specs=blk(cpq),
+        out_shape=jax.ShapeDtypeStruct((b, cpq, d), xc.dtype),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(xc, x, gamma, beta, wqkv, bqkv, wo, bo)
+
+
+def _fused_ln_qkvo_rect_fwd(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
+                            eps, seq_len, heads, head_dim, int8=False,
+                            int8_grad=False, int8_dw=False):
+    out = fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo,
+                                       bo, eps, seq_len, heads, head_dim,
+                                       int8, int8_grad, int8_dw)
+    return out, (xc, x, gamma, beta, wqkv, bqkv, wo)
+
+
+def _fused_ln_qkvo_rect_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
+                            int8_dw, res, do):
+    xc, x, gamma, beta, wqkv, bqkv, wo = res
+    scale = 1.0 / math.sqrt(head_dim)
+    b, cpq, d = xc.shape
+    spq = x.shape[1]
+    hhd = heads * head_dim
+    tile = _qkvo_bwd_tile(b)
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    blk = lambda rows: pl.BlockSpec((tile, rows, d), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    wospec = pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct((b, cpq, d), xc.dtype),
+                  jax.ShapeDtypeStruct((b, spq, d), x.dtype),
+                  jax.ShapeDtypeStruct((d,), jnp.float32),
+                  jax.ShapeDtypeStruct((d,), jnp.float32),
+                  jax.ShapeDtypeStruct((d, 3 * hhd), jnp.float32),
+                  jax.ShapeDtypeStruct((3 * hhd,), jnp.float32),
+                  jax.ShapeDtypeStruct((hhd, d), jnp.float32),
+                  jax.ShapeDtypeStruct((d,), jnp.float32))
+    out_specs = (blk(cpq), blk(spq), vec(d), vec(d), wspec, vec(3 * hhd),
+                 wospec, vec(d))
+    if int8 and int8_grad:
+        w8, sw = _quant_cols_host(wqkv)
+        wq8r, swqr = _quant_rows_host(wqkv[:, :hhd])
+        wkv8r, swkvr = _quant_rows_host(wqkv[:, hhd:])
+        wo8r, swor = _quant_rows_host(wo)
+        dxc, dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
+            functools.partial(_ln_qkvo_rect_bwd_int8_kernel, eps=eps,
+                              scale=scale, seq_len=seq_len, heads=heads,
+                              head_dim=head_dim, tile=tile,
+                              int8_dw=int8_dw),
+            grid=(b // tile,),
+            in_specs=[
+                blk(cpq), blk(spq), vec(d), vec(d), vec(3 * hhd),
+                wspec, vec(3 * hhd),
+                pl.BlockSpec((d, hhd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM), vec(d),
+                pl.BlockSpec((d, 2 * hhd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM), vec(d),
+                wospec, vec(hhd),
+                blk(cpq),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=_INTERPRET,
+            **_VMEM_LIMIT,
+        )(xc, x, gamma, beta, bqkv, w8, sw, wq8r, swqr, wkv8r, swkvr,
+          wo8r, swor, do)
+    else:
+        dxc, dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
+            functools.partial(_ln_qkvo_rect_bwd_kernel, eps=eps,
+                              scale=scale, seq_len=seq_len, heads=heads,
+                              head_dim=head_dim, tile=tile),
+            grid=(b // tile,),
+            in_specs=[
+                blk(cpq), blk(spq), vec(d), vec(d), wspec, vec(3 * hhd),
+                wospec, blk(cpq),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=_INTERPRET,
+            **_VMEM_LIMIT,
+        )(xc, x, gamma, beta, wqkv, bqkv, wo, do)
+    return (dxc, dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw.astype(wqkv.dtype), db.astype(bqkv.dtype),
+            dwo.astype(wo.dtype), dbo)
+
+
+fused_ln_qkvo_attention_rect.defvjp(_fused_ln_qkvo_rect_fwd,
+                                    _fused_ln_qkvo_rect_bwd)

@@ -114,6 +114,9 @@ def get_train_config(argv=None):
                    help="A4W4 int4 MLP forward matmuls (implies --int8; "
                         "deepest-precision tier, wide quantization band — "
                         "see PERF.md before using for real training)")
+    p.add_argument("--int4-attn", action="store_true",
+                   help="A4W4 int4 qkv/out-projection forward matmuls too "
+                        "(implies --int4; the attention core stays bf16)")
     p.add_argument("--save-acts", action="store_true",
                    help="persist (quantized) GELU activations in the fused "
                         "MLP forward; backward skips the fc1 recompute")
@@ -153,7 +156,8 @@ def config_to_model_args(c) -> "resvit_arch_config":
         fused_qkv = on_tpu
     int8_dw = getattr(c, "int8_dw", False)
     int8_grad = getattr(c, "int8_grad", False) or int8_dw
-    int4 = getattr(c, "int4", False)
+    int4_attn = getattr(c, "int4_attn", False)
+    int4 = getattr(c, "int4", False) or int4_attn
     int8 = getattr(c, "int8", False) or int8_grad or int4
     fused_mlp = getattr(c, "fused_mlp", None)
     if fused_mlp is None:
@@ -191,7 +195,7 @@ def config_to_model_args(c) -> "resvit_arch_config":
         fused_mlp=fused_mlp, remat=remat,
         int8_attn=int8, int8_attn_grad=int8_grad,
         int8_mlp=int8, int8_mlp_grad=int8_grad, int8_dw=int8_dw,
-        int4_mlp=int4,
+        int4_mlp=int4, int4_attn=int4_attn,
         fused_mlp_save=getattr(c, "save_acts", False),
         compact_capacity=getattr(c, "compact_capacity", None),
         use_pallas=False if c.no_pallas else None)
