@@ -3006,17 +3006,18 @@ def _ln_stats(v32, eps):
     return vc * rstd, rstd
 
 
-def _ln_qkvo_rect_fwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
-                             wo_ref, bo_ref, o_ref, *, eps, scale, seq_len,
-                             heads, head_dim, tile):
+def _ln_qkvo_rect_fwd_kernel(xc_ref, x_ref, g_ref, be_ref, wq_ref, wkv_ref,
+                             bq_ref, bkv_ref, wo_ref, bo_ref, o_ref, *, eps,
+                             scale, seq_len, heads, head_dim, tile):
+    # wq/wkv (and biases) arrive pre-split: in-kernel column slicing of a
+    # loaded weight at lane offset H·Hd is not lowerable ("Input offsets
+    # outside of the first tile", Mosaic) — the split is free in XLA.
     cpq = xc_ref.shape[1]
     spq = x_ref.shape[1]
     d = x_ref.shape[2]
     hhd = heads * head_dim
     g32 = g_ref[:].astype(jnp.float32)
     be32 = be_ref[:].astype(jnp.float32)
-    b32 = b_ref[:].astype(jnp.float32)
-    w = w_ref[:]
 
     xhat_q, _ = _ln_stats(xc_ref[:].reshape(tile * cpq, d)
                           .astype(jnp.float32), eps)
@@ -3025,10 +3026,10 @@ def _ln_qkvo_rect_fwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
                           .astype(jnp.float32), eps)
     xn_k = (xhat_k * g32 + be32).astype(x_ref.dtype)
 
-    q = (jnp.dot(xn_q, w[:, :hhd], preferred_element_type=jnp.float32)
-         + b32[:hhd]).astype(xn_q.dtype)
-    kv = (jnp.dot(xn_k, w[:, hhd:], preferred_element_type=jnp.float32)
-          + b32[hhd:]).astype(xn_k.dtype)
+    q = (jnp.dot(xn_q, wq_ref[:], preferred_element_type=jnp.float32)
+         + bq_ref[:].astype(jnp.float32)).astype(xn_q.dtype)
+    kv = (jnp.dot(xn_k, wkv_ref[:], preferred_element_type=jnp.float32)
+          + bkv_ref[:].astype(jnp.float32)).astype(xn_k.dtype)
     col = jax.lax.broadcasted_iota(jnp.int32, (cpq, spq), 1)
     ths = [(t, h) for t in range(tile) for h in range(heads)]
     _, _, attn = _rect_core_recompute(q, kv, ths, cpq, spq, hhd, head_dim,
@@ -3039,23 +3040,22 @@ def _ln_qkvo_rect_fwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
     o_ref[:] = y.reshape(tile, cpq, d)
 
 
-def _ln_qkvo_rect_fwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, w8_ref,
-                                  sw_ref, b_ref, wo8_ref, swo_ref, bo_ref,
+def _ln_qkvo_rect_fwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, wq8_ref,
+                                  swq_ref, wkv8_ref, swkv_ref, bq_ref,
+                                  bkv_ref, wo8_ref, swo_ref, bo_ref,
                                   o_ref, *, eps, scale, seq_len, heads,
                                   head_dim, tile):
     """int8 rect forward: same W8A8 projections as the square int8 kernel
     (per-row activation / per-column weight), core bf16/fp32. Row scales of
     the gathered rows equal the square kernel's for those rows, so the
-    output is bit-exact vs square-then-gather."""
+    output is bit-exact vs square-then-gather. Weights arrive pre-split
+    (see _ln_qkvo_rect_fwd_kernel)."""
     cpq = xc_ref.shape[1]
     spq = x_ref.shape[1]
     d = x_ref.shape[2]
-    hhd = heads * head_dim
     g32 = g_ref[:].astype(jnp.float32)
     be32 = be_ref[:].astype(jnp.float32)
-    b32 = b_ref[:].astype(jnp.float32)
-    sw = sw_ref[:]
-    w8 = w8_ref[:]
+    hhd = heads * head_dim
 
     xhat_q, _ = _ln_stats(xc_ref[:].reshape(tile * cpq, d)
                           .astype(jnp.float32), eps)
@@ -3064,14 +3064,14 @@ def _ln_qkvo_rect_fwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, w8_ref,
                           .astype(jnp.float32), eps)
     xq_k, sx_k = _quant_rows(xhat_k * g32 + be32)
 
-    q = (jax.lax.dot_general(xq_c, w8[:, :hhd], (((1,), (0,)), ((), ())),
+    q = (jax.lax.dot_general(xq_c, wq8_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32
-                             ).astype(jnp.float32) * sx_c * sw[:hhd]
-         + b32[:hhd]).astype(xc_ref.dtype)
-    kv = (jax.lax.dot_general(xq_k, w8[:, hhd:], (((1,), (0,)), ((), ())),
+                             ).astype(jnp.float32) * sx_c * swq_ref[:]
+         + bq_ref[:].astype(jnp.float32)).astype(xc_ref.dtype)
+    kv = (jax.lax.dot_general(xq_k, wkv8_ref[:], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32
-                              ).astype(jnp.float32) * sx_k * sw[hhd:]
-          + b32[hhd:]).astype(x_ref.dtype)
+                              ).astype(jnp.float32) * sx_k * swkv_ref[:]
+          + bkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
     col = jax.lax.broadcasted_iota(jnp.int32, (cpq, spq), 1)
     ths = [(t, h) for t in range(tile) for h in range(heads)]
     _, _, attn32 = _rect_core_recompute(q, kv, ths, cpq, spq, hhd, head_dim,
@@ -3085,11 +3085,11 @@ def _ln_qkvo_rect_fwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, w8_ref,
     o_ref[:] = y.reshape(tile, cpq, d)
 
 
-def _ln_qkvo_rect_bwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
-                             wo_ref, do_ref,
-                             dxc_ref, dx_ref, dg_ref, dbe_ref, dw_ref,
-                             db_ref, dwo_ref, dbo_ref, *, eps, scale,
-                             seq_len, heads, head_dim, tile):
+def _ln_qkvo_rect_bwd_kernel(xc_ref, x_ref, g_ref, be_ref, wq_ref, wkv_ref,
+                             bq_ref, bkv_ref, wo_ref, do_ref,
+                             dxc_ref, dx_ref, dg_ref, dbe_ref, dwq_ref,
+                             dwkv_ref, dbq_ref, dbkv_ref, dwo_ref, dbo_ref,
+                             *, eps, scale, seq_len, heads, head_dim, tile):
     """Rect backward (bf16): recomputes both LNs + the rect projections +
     core in VMEM, forms dq/dkv, and emits dxc (compacted Q rows) AND dx
     (full KV rows) — the caller's gather transpose scatters dxc back into
@@ -3103,8 +3103,6 @@ def _ln_qkvo_rect_bwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
     hhd = heads * head_dim
     g32 = g_ref[:].astype(jnp.float32)
     be32 = be_ref[:].astype(jnp.float32)
-    b32 = b_ref[:].astype(jnp.float32)
-    w = w_ref[:]
     do_y = do_ref[:].reshape(tile * cpq, d_model)
 
     xhat_q, rstd_q = _ln_stats(xc_ref[:].reshape(tile * cpq, d_model)
@@ -3116,10 +3114,10 @@ def _ln_qkvo_rect_bwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
     xn_k32 = xhat_k * g32 + be32
     xn_k = xn_k32.astype(x_ref.dtype)
 
-    q = (jnp.dot(xn_q, w[:, :hhd], preferred_element_type=jnp.float32)
-         + b32[:hhd]).astype(xn_q.dtype)
-    kv = (jnp.dot(xn_k, w[:, hhd:], preferred_element_type=jnp.float32)
-          + b32[hhd:]).astype(xn_k.dtype)
+    q = (jnp.dot(xn_q, wq_ref[:], preferred_element_type=jnp.float32)
+         + bq_ref[:].astype(jnp.float32)).astype(xn_q.dtype)
+    kv = (jnp.dot(xn_k, wkv_ref[:], preferred_element_type=jnp.float32)
+          + bkv_ref[:].astype(jnp.float32)).astype(xn_k.dtype)
     col = jax.lax.broadcasted_iota(jnp.int32, (cpq, spq), 1)
     ths = [(t, h) for t in range(tile) for h in range(heads)]
     ps, outs, attn = _rect_core_recompute(q, kv, ths, cpq, spq, hhd,
@@ -3136,9 +3134,9 @@ def _ln_qkvo_rect_bwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
     dq, dkv = _rect_core_grads(q, kv, ps, outs, dattn, ths, cpq, spq, hhd,
                                head_dim, scale, tile, heads, xn_q.dtype)
 
-    dxn_q = jax.lax.dot_general(dq, w[:, :hhd], _AB_T,
+    dxn_q = jax.lax.dot_general(dq, wq_ref[:], _AB_T,
                                 preferred_element_type=jnp.float32)
-    dxn_k = jax.lax.dot_general(dkv, w[:, hhd:], _AB_T,
+    dxn_k = jax.lax.dot_general(dkv, wkv_ref[:], _AB_T,
                                 preferred_element_type=jnp.float32)
 
     def lnbwd(dxn, xhat, rstd):
@@ -3155,20 +3153,21 @@ def _ln_qkvo_rect_bwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
     dg_part = jnp.sum(dxn_q * xhat_q, axis=0) + jnp.sum(dxn_k * xhat_k,
                                                         axis=0)
     dbe_part = jnp.sum(dxn_q, axis=0) + jnp.sum(dxn_k, axis=0)
-    dw_part = jnp.concatenate(
-        [jax.lax.dot_general(xn_q, dq, _AT_B,
-                             preferred_element_type=jnp.float32),
-         jax.lax.dot_general(xn_k, dkv, _AT_B,
-                             preferred_element_type=jnp.float32)], axis=1)
-    db_part = jnp.concatenate([jnp.sum(dq.astype(jnp.float32), axis=0),
-                               jnp.sum(dkv.astype(jnp.float32), axis=0)])
+    dwq_part = jax.lax.dot_general(xn_q, dq, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    dwkv_part = jax.lax.dot_general(xn_k, dkv, _AT_B,
+                                    preferred_element_type=jnp.float32)
+    dbq_part = jnp.sum(dq.astype(jnp.float32), axis=0)
+    dbkv_part = jnp.sum(dkv.astype(jnp.float32), axis=0)
 
     @pl.when(i == 0)
     def _():
         dg_ref[:] = dg_part
         dbe_ref[:] = dbe_part
-        dw_ref[:] = dw_part
-        db_ref[:] = db_part
+        dwq_ref[:] = dwq_part
+        dwkv_ref[:] = dwkv_part
+        dbq_ref[:] = dbq_part
+        dbkv_ref[:] = dbkv_part
         dwo_ref[:] = dwo_part
         dbo_ref[:] = dbo_part
 
@@ -3176,20 +3175,25 @@ def _ln_qkvo_rect_bwd_kernel(xc_ref, x_ref, g_ref, be_ref, w_ref, b_ref,
     def _():
         dg_ref[:] = dg_ref[:] + dg_part
         dbe_ref[:] = dbe_ref[:] + dbe_part
-        dw_ref[:] = dw_ref[:] + dw_part
-        db_ref[:] = db_ref[:] + db_part
+        dwq_ref[:] = dwq_ref[:] + dwq_part
+        dwkv_ref[:] = dwkv_ref[:] + dwkv_part
+        dbq_ref[:] = dbq_ref[:] + dbq_part
+        dbkv_ref[:] = dbkv_ref[:] + dbkv_part
         dwo_ref[:] = dwo_ref[:] + dwo_part
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
 
-def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, b_ref,
-                                  w8_ref, sw_ref, wq8r_ref, swqr_ref,
+def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, bq_ref,
+                                  bkv_ref,
+                                  wq8_ref, swq_ref, wkv8_ref, swkv_ref,
+                                  wq8r_ref, swqr_ref,
                                   wkv8r_ref, swkvr_ref, wo8r_ref, swor_ref,
                                   do_ref,
-                                  dxc_ref, dx_ref, dg_ref, dbe_ref, dw_ref,
-                                  db_ref, dwo_ref, dbo_ref, *, eps, scale,
-                                  seq_len, heads, head_dim, tile,
-                                  int8_dw=False):
+                                  dxc_ref, dx_ref, dg_ref, dbe_ref, dwq_ref,
+                                  dwkv_ref, dbq_ref, dbkv_ref, dwo_ref,
+                                  dbo_ref, *,
+                                  eps, scale, seq_len, heads, head_dim,
+                                  tile, int8_dw=False):
     """int8 rect backward: W8A8 recompute + dL/dx-path projections (dattn,
     dxn_q, dxn_k), bf16 core grads, optional Jetfire-style int8 dW with the
     same row-scale folding as the square kernel (the per-row int8 tensors
@@ -3201,9 +3205,6 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, b_ref,
     hhd = heads * head_dim
     g32 = g_ref[:].astype(jnp.float32)
     be32 = be_ref[:].astype(jnp.float32)
-    b32 = b_ref[:].astype(jnp.float32)
-    sw = sw_ref[:]
-    w8 = w8_ref[:]
     do_y = do_ref[:].reshape(tile * cpq, d_model)
 
     xhat_q, rstd_q = _ln_stats(xc_ref[:].reshape(tile * cpq, d_model)
@@ -3215,14 +3216,14 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, b_ref,
 
     xq_c, _sxc = _quant_rows(xn_q32)
     xq_k, _sxk = _quant_rows(xn_k32)
-    q = (jax.lax.dot_general(xq_c, w8[:, :hhd], (((1,), (0,)), ((), ())),
+    q = (jax.lax.dot_general(xq_c, wq8_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32
-                             ).astype(jnp.float32) * _sxc * sw[:hhd]
-         + b32[:hhd]).astype(xc_ref.dtype)
-    kv = (jax.lax.dot_general(xq_k, w8[:, hhd:], (((1,), (0,)), ((), ())),
+                             ).astype(jnp.float32) * _sxc * swq_ref[:]
+         + bq_ref[:].astype(jnp.float32)).astype(xc_ref.dtype)
+    kv = (jax.lax.dot_general(xq_k, wkv8_ref[:], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32
-                              ).astype(jnp.float32) * _sxk * sw[hhd:]
-          + b32[hhd:]).astype(x_ref.dtype)
+                              ).astype(jnp.float32) * _sxk * swkv_ref[:]
+          + bkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
     col = jax.lax.broadcasted_iota(jnp.int32, (cpq, spq), 1)
     ths = [(t, h) for t in range(tile) for h in range(heads)]
     ps, outs, attn = _rect_core_recompute(q, kv, ths, cpq, spq, hhd,
@@ -3282,23 +3283,24 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, b_ref,
         dwkv_part = jax.lax.dot_general(
             xnq_k, dkvq, _AT_B, preferred_element_type=jnp.int32
         ).astype(jnp.float32) * sxn_k[0][:, None]
-        dw_part = jnp.concatenate([dwq_part, dwkv_part], axis=1)
     else:
-        dw_part = jnp.concatenate(
-            [jax.lax.dot_general(xn_q32.astype(q.dtype), dq, _AT_B,
-                                 preferred_element_type=jnp.float32),
-             jax.lax.dot_general(xn_k32.astype(q.dtype), dkv, _AT_B,
-                                 preferred_element_type=jnp.float32)],
-            axis=1)
-    db_part = jnp.concatenate([jnp.sum(dq.astype(jnp.float32), axis=0),
-                               jnp.sum(dkv.astype(jnp.float32), axis=0)])
+        dwq_part = jax.lax.dot_general(
+            xn_q32.astype(q.dtype), dq, _AT_B,
+            preferred_element_type=jnp.float32)
+        dwkv_part = jax.lax.dot_general(
+            xn_k32.astype(q.dtype), dkv, _AT_B,
+            preferred_element_type=jnp.float32)
+    dbq_part = jnp.sum(dq.astype(jnp.float32), axis=0)
+    dbkv_part = jnp.sum(dkv.astype(jnp.float32), axis=0)
 
     @pl.when(i == 0)
     def _():
         dg_ref[:] = dg_part
         dbe_ref[:] = dbe_part
-        dw_ref[:] = dw_part
-        db_ref[:] = db_part
+        dwq_ref[:] = dwq_part
+        dwkv_ref[:] = dwkv_part
+        dbq_ref[:] = dbq_part
+        dbkv_ref[:] = dbkv_part
         dwo_ref[:] = dwo_part
         dbo_ref[:] = dbo_part
 
@@ -3306,8 +3308,10 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, b_ref,
     def _():
         dg_ref[:] = dg_ref[:] + dg_part
         dbe_ref[:] = dbe_ref[:] + dbe_part
-        dw_ref[:] = dw_ref[:] + dw_part
-        db_ref[:] = db_ref[:] + db_part
+        dwq_ref[:] = dwq_ref[:] + dwq_part
+        dwkv_ref[:] = dwkv_ref[:] + dwkv_part
+        dbq_ref[:] = dbq_ref[:] + dbq_part
+        dbkv_ref[:] = dbkv_ref[:] + dbkv_part
         dwo_ref[:] = dwo_ref[:] + dwo_part
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
@@ -3330,8 +3334,20 @@ def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
                                  memory_space=pltpu.VMEM)
     blk = lambda rows: pl.BlockSpec((tile, rows, d), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
+    # wq/wkv (and their biases/scales) are split OUTSIDE the kernel: the
+    # in-kernel column slice at lane offset hhd is not lowerable ("Input
+    # offsets outside of the first tile" — captured Mosaic error).
+    wq, wkv = wqkv[:, :hhd], wqkv[:, hhd:]
+    bq, bkv = bqkv[:hhd], bqkv[hhd:]
+    wqspec = pl.BlockSpec((d, hhd), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    wkvspec = pl.BlockSpec((d, 2 * hhd), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    wospec = pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
     if int8:
-        w8, sw = _quant_cols_host(wqkv)
+        wq8, swq = _quant_cols_host(wq)
+        wkv8, swkv = _quant_cols_host(wkv)
         wo8, swo = _quant_cols_host(wo)
         return pl.pallas_call(
             functools.partial(_ln_qkvo_rect_fwd_int8_kernel, eps=eps,
@@ -3340,18 +3356,15 @@ def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
             grid=(b // tile,),
             in_specs=[
                 blk(cpq), blk(spq), vec(d), vec(d),
-                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                vec(3 * hhd), vec(3 * hhd),
-                pl.BlockSpec((hhd, d), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                vec(d), vec(d),
+                wqspec, vec(hhd), wkvspec, vec(2 * hhd),
+                vec(hhd), vec(2 * hhd),
+                wospec, vec(d), vec(d),
             ],
             out_specs=blk(cpq),
             out_shape=jax.ShapeDtypeStruct((b, cpq, d), xc.dtype),
             interpret=_INTERPRET,
             **_VMEM_LIMIT,
-        )(xc, x, gamma, beta, w8, sw, bqkv, wo8, swo, bo)
+        )(xc, x, gamma, beta, wq8, swq, wkv8, swkv, bq, bkv, wo8, swo, bo)
     return pl.pallas_call(
         functools.partial(_ln_qkvo_rect_fwd_kernel, eps=eps, scale=scale,
                           seq_len=seq_len, heads=heads, head_dim=head_dim,
@@ -3359,17 +3372,14 @@ def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
         grid=(b // tile,),
         in_specs=[
             blk(cpq), blk(spq), vec(d), vec(d),
-            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            vec(3 * hhd),
-            pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            vec(d),
+            wqspec, wkvspec, vec(hhd), vec(2 * hhd),
+            wospec, vec(d),
         ],
         out_specs=blk(cpq),
         out_shape=jax.ShapeDtypeStruct((b, cpq, d), xc.dtype),
         interpret=_INTERPRET,
         **_VMEM_LIMIT,
-    )(xc, x, gamma, beta, wqkv, bqkv, wo, bo)
+    )(xc, x, gamma, beta, wq, wkv, bq, bkv, wo, bo)
 
 
 def _fused_ln_qkvo_rect_fwd(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
@@ -3393,38 +3403,43 @@ def _fused_ln_qkvo_rect_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
                                  memory_space=pltpu.VMEM)
     blk = lambda rows: pl.BlockSpec((tile, rows, d), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
+    wqspec = pl.BlockSpec((d, hhd), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    wkvspec = pl.BlockSpec((d, 2 * hhd), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
     wospec = pl.BlockSpec((hhd, d), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
+    wq, wkv = wqkv[:, :hhd], wqkv[:, hhd:]
+    bq, bkv = bqkv[:hhd], bqkv[hhd:]
     out_shapes = (jax.ShapeDtypeStruct((b, cpq, d), xc.dtype),
                   jax.ShapeDtypeStruct((b, spq, d), x.dtype),
                   jax.ShapeDtypeStruct((d,), jnp.float32),
                   jax.ShapeDtypeStruct((d,), jnp.float32),
-                  jax.ShapeDtypeStruct((d, 3 * hhd), jnp.float32),
-                  jax.ShapeDtypeStruct((3 * hhd,), jnp.float32),
+                  jax.ShapeDtypeStruct((d, hhd), jnp.float32),
+                  jax.ShapeDtypeStruct((d, 2 * hhd), jnp.float32),
+                  jax.ShapeDtypeStruct((hhd,), jnp.float32),
+                  jax.ShapeDtypeStruct((2 * hhd,), jnp.float32),
                   jax.ShapeDtypeStruct((hhd, d), jnp.float32),
                   jax.ShapeDtypeStruct((d,), jnp.float32))
-    out_specs = (blk(cpq), blk(spq), vec(d), vec(d), wspec, vec(3 * hhd),
-                 wospec, vec(d))
+    out_specs = (blk(cpq), blk(spq), vec(d), vec(d), wqspec, wkvspec,
+                 vec(hhd), vec(2 * hhd), wospec, vec(d))
     if int8 and int8_grad:
-        w8, sw = _quant_cols_host(wqkv)
-        wq8r, swqr = _quant_rows_host(wqkv[:, :hhd])
-        wkv8r, swkvr = _quant_rows_host(wqkv[:, hhd:])
+        wq8, swq = _quant_cols_host(wq)
+        wkv8, swkv = _quant_cols_host(wkv)
+        wq8r, swqr = _quant_rows_host(wq)
+        wkv8r, swkvr = _quant_rows_host(wkv)
         wo8r, swor = _quant_rows_host(wo)
-        dxc, dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
+        outs = pl.pallas_call(
             functools.partial(_ln_qkvo_rect_bwd_int8_kernel, eps=eps,
                               scale=scale, seq_len=seq_len, heads=heads,
                               head_dim=head_dim, tile=tile,
                               int8_dw=int8_dw),
             grid=(b // tile,),
             in_specs=[
-                blk(cpq), blk(spq), vec(d), vec(d), vec(3 * hhd),
-                wspec, vec(3 * hhd),
-                pl.BlockSpec((d, hhd), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM), vec(d),
-                pl.BlockSpec((d, 2 * hhd), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM), vec(d),
+                blk(cpq), blk(spq), vec(d), vec(d), vec(hhd), vec(2 * hhd),
+                wqspec, vec(hhd), wkvspec, vec(2 * hhd),
+                wqspec, vec(d),
+                wkvspec, vec(d),
                 wospec, vec(hhd),
                 blk(cpq),
             ],
@@ -3432,25 +3447,27 @@ def _fused_ln_qkvo_rect_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
             out_shape=out_shapes,
             interpret=_INTERPRET,
             **_VMEM_LIMIT,
-        )(xc, x, gamma, beta, bqkv, w8, sw, wq8r, swqr, wkv8r, swkvr,
-          wo8r, swor, do)
+        )(xc, x, gamma, beta, bq, bkv, wq8, swq, wkv8, swkv, wq8r, swqr,
+          wkv8r, swkvr, wo8r, swor, do)
     else:
-        dxc, dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
+        outs = pl.pallas_call(
             functools.partial(_ln_qkvo_rect_bwd_kernel, eps=eps,
                               scale=scale, seq_len=seq_len, heads=heads,
                               head_dim=head_dim, tile=tile),
             grid=(b // tile,),
             in_specs=[
-                blk(cpq), blk(spq), vec(d), vec(d), wspec, vec(3 * hhd),
-                wospec, blk(cpq),
+                blk(cpq), blk(spq), vec(d), vec(d), wqspec, wkvspec,
+                vec(hhd), vec(2 * hhd), wospec, blk(cpq),
             ],
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=_INTERPRET,
             **_VMEM_LIMIT,
-        )(xc, x, gamma, beta, wqkv, bqkv, wo, do)
+        )(xc, x, gamma, beta, wq, wkv, bq, bkv, wo, do)
+    dxc, dx, dg, dbe, dwq, dwkv, dbq, dbkv, dwo, dbo = outs
     return (dxc, dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
-            dw.astype(wqkv.dtype), db.astype(bqkv.dtype),
+            jnp.concatenate([dwq, dwkv], axis=1).astype(wqkv.dtype),
+            jnp.concatenate([dbq, dbkv]).astype(bqkv.dtype),
             dwo.astype(wo.dtype), dbo)
 
 
