@@ -234,3 +234,24 @@ def test_compact_rect_attention_int8_close(monkeypatch):
         scale = float(np.max(np.abs(a))) + 1e-6
         err = float(np.max(np.abs(b - a)))
         assert err < 0.06 * scale + 1e-6, (str(ka), err, scale)
+
+
+def test_eval_cli_compact_paths():
+    """resvit_eval_cli --compact-capacity runs on both the fused-kernel
+    compact path (when fused kernels are available) and the legacy
+    apply_compact path (--legacy-compact); on CPU the fused gate is off so
+    both resolve to legacy — this asserts the flag plumbing + metrics."""
+    from vitax import resvit_eval_cli
+    args = ["--dataset", "Synthetic", "--model-arch", "tiny",
+            "--image-size", "32", "--batch-size", "8",
+            "--synthetic-samples", "32", "--num-workers", "0",
+            "--dtype", "float32", "--no-pallas",
+            "--use_lora", "False", "--use_reslr", "True",
+            "--dynamic_start_layer", "1", "--block_size", "1",
+            "--dynamic_router_hdim", "32", "--low_rank_dim", "8",
+            "--n_heads", "3", "--n_kv_heads", "3",
+            "--compact-capacity", "0.75"]
+    r1 = resvit_eval_cli.main(args)
+    r2 = resvit_eval_cli.main(args + ["--legacy-compact"])
+    assert "acc1" in r1 and "acc1" in r2
+    np.testing.assert_allclose(r1["acc1"], r2["acc1"], atol=1e-6)
