@@ -26,20 +26,31 @@ STEPS = 300
 BATCH = 64
 
 
-def run(tag, **over):
-    cfg = resvit_arch_config(
-        "b16", image_size=224, num_classes=10, dtype=jnp.bfloat16,
-        use_lora=True, use_reslr=True, lora_rank=48,
-        dynamic_active_target=0.4, dynamic_start_layer=1,
-        dynamic_reserve_initials=2, block_size=4,
-        fused_qkv=True, fused_qkvo=True, fused_mlp=True,
-        int8_attn=True, int8_attn_grad=True, int8_mlp=True,
-        int8_mlp_grad=True, int8_dw=True, use_pallas=False, **over)
+def run(tag, compact_warmup=0, **over):
+    def mkcfg(**kw):
+        return resvit_arch_config(
+            "b16", image_size=224, num_classes=10, dtype=jnp.bfloat16,
+            use_lora=True, use_reslr=True, lora_rank=48,
+            dynamic_active_target=0.4, dynamic_start_layer=1,
+            dynamic_reserve_initials=2, block_size=4,
+            fused_qkv=True, fused_qkvo=True, fused_mlp=True,
+            int8_attn=True, int8_attn_grad=True, int8_mlp=True,
+            int8_mlp_grad=True, int8_dw=True, use_pallas=False, **kw)
+    cfg = mkcfg(**over)
     params = resvit.init_params(jax.random.PRNGKey(0), cfg)
     tx = make_adamw_for(cfg, params, cosine_with_warmup_lr(1e-4, 30, STEPS),
                         clip_grad_norm=1.0)
     state = create_state(params, tx, jax.random.PRNGKey(1))
     step = make_train_step(cfg, tx, Lambdas(1.0, 10.0, 1.0), donate=True)
+    # dense warmup: train WITHOUT compaction for the first N steps so the
+    # router leaves its keep-bias-5.0 (~all-active) init before capacity
+    # starts dropping overflow tokens to identity (same params/opt pytree,
+    # separate jitted step)
+    warm_step = None
+    if compact_warmup and over.get("compact_capacity") is not None:
+        wcfg = mkcfg(**{**over, "compact_capacity": None})
+        warm_step = make_train_step(wcfg, tx, Lambdas(1.0, 10.0, 1.0),
+                                    donate=False)
 
     key = jax.random.PRNGKey(42)
     protos = jax.random.normal(key, (10, 224, 224, 3), jnp.bfloat16)
@@ -61,24 +72,29 @@ def run(tag, **over):
         acc = jnp.mean((jnp.argmax(logits, -1) == elab).astype(jnp.float32))
         return acc, jnp.mean(aux["acts"])
 
-    losses, eaccs, act = [], [], None
+    losses, eaccs, ratios = [], [], []
     for s in range(STEPS):
         img, lab = batches[s % 8]
-        state, metrics = step(state, img, lab)
+        fn = warm_step if (warm_step is not None
+                           and s < compact_warmup) else step
+        state, metrics = fn(state, img, lab)
         if s % 50 == 49:
             losses.append(float(metrics["loss"]))
             a, act = eval_acc(state.params)
             eaccs.append(float(a))
+            ratios.append(float(act))
     print(f"{tag}: losses={['%.3f' % l for l in losses]}", flush=True)
     print(f"{tag}: HELD-OUT acc1={['%.3f' % a for a in eaccs]} "
-          f"final active ratio={float(act):.3f}", flush=True)
+          f"active ratio={['%.3f' % r for r in ratios]}", flush=True)
     return losses, eaccs
 
 
+WARMUP = int(os.environ.get("CC_WARMUP", "0"))
 l_d, a_d = run("dense")
 for cap in (0.625, 0.5):
-    l_c, a_c = run(f"compact-{cap}", compact_capacity=cap)
+    l_c, a_c = run(f"compact-{cap}-w{WARMUP}", compact_capacity=cap,
+                   compact_warmup=WARMUP)
     dl = max(abs(a - b) for a, b in zip(l_d[-3:], l_c[-3:]))
     da = max(abs(a - b) for a, b in zip(a_d[-3:], a_c[-3:]))
-    print(f"compact-{cap} vs dense: final-phase max |loss diff| = {dl:.4f}, "
-          f"max |acc diff| = {da:.4f}", flush=True)
+    print(f"compact-{cap}-w{WARMUP} vs dense: final-phase max |loss diff| "
+          f"= {dl:.4f}, max |acc diff| = {da:.4f}", flush=True)

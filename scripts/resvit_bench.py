@@ -32,6 +32,9 @@ def main():
     p.add_argument("--int8-dw", action="store_true")
     p.add_argument("--int4", action="store_true",
                    help="A4W4 int4 MLP forward (needs --fused-mlp)")
+    p.add_argument("--int4-attn", action="store_true",
+                   help="A4W4 int4 qkv/out-proj forward (square kernel; "
+                        "the rect compact kernel stays int8)")
     p.add_argument("--scan", type=str, default="off",
                    choices=["off", "restack", "stacked"],
                    help="off = unrolled loop; restack = scan with per-step "
@@ -69,6 +72,7 @@ def main():
         int8_mlp_grad=a.fused_mlp and (a.int8_grad or a.int8_dw),
         int8_dw=a.int8_dw,
         int4_mlp=a.fused_mlp and a.int4,
+        int4_attn=a.int4_attn,
         compact_capacity=a.compact,
         compact_attention=not a.no_compact_attn,
         use_pallas=False)

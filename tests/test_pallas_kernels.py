@@ -654,3 +654,44 @@ def test_ln_qkvo_rect_int8_grads_close_to_square():
         scale = float(jnp.max(jnp.abs(a))) + 1e-6
         err = float(jnp.max(jnp.abs(b_ - a)))
         assert err < 0.06 * scale, (name, err, scale)
+
+
+def test_ln_qkvo_rect_int4_matches_square_int4_gather():
+    """A4W4 rect forward == square int4 kernel + gather (per-row int4
+    quantization is identical per row), and grads equal the shared
+    backward's."""
+    b, s, cap, d, h, hd = 2, 37, 17, 128, 4, 32
+    x, g, be, wqkv, bqkv, wo, bo, idx = _rect_setup(
+        jax.random.PRNGKey(34), b, s, cap, d, h, hd)
+    spq = (s + 7) // 8 * 8
+    cpq = (cap + 7) // 8 * 8
+    xp = _pad_rows(x, spq)
+    xc = jnp.take_along_axis(x, idx[..., None], axis=1)
+    xcp = _pad_rows(xc, cpq)
+    sq = pk.fused_ln_qkvo_attention(xp, g, be, wqkv, bqkv, wo, bo,
+                                    1e-5, s, h, hd, False, False, False,
+                                    True)[:, :s]
+    ref = jnp.take_along_axis(sq, idx[..., None], axis=1)
+    rect = pk.fused_ln_qkvo_attention_rect(
+        xcp, xp, g, be, wqkv, bqkv, wo, bo, 1e-5, s, h, hd,
+        False, False, False, True)[:, :cap]
+    np.testing.assert_allclose(np.asarray(rect), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    onehot = (idx[:, :, None] == jnp.arange(s)[None, None, :]
+              ).astype(x.dtype)
+
+    def loss(int4):
+        def f(x, wqkv, wo):
+            xc = jnp.einsum("bcs,bsd->bcd", onehot, x)
+            out = pk.fused_ln_qkvo_attention_rect(
+                _pad_rows(xc, cpq), _pad_rows(x, spq), g, be, wqkv, bqkv,
+                wo, bo, 1e-5, s, h, hd, False, False, False, int4)[:, :cap]
+            return jnp.sum(out * (1 + 0.1 * jnp.arange(d)))
+        return f
+
+    ga = jax.grad(loss(False), argnums=(0, 1, 2))(x, wqkv, wo)
+    gb = jax.grad(loss(True), argnums=(0, 1, 2))(x, wqkv, wo)
+    for name, a, b_ in zip("x wqkv wo".split(), ga, gb):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)

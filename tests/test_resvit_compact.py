@@ -255,3 +255,23 @@ def test_eval_cli_compact_paths():
     r2 = resvit_eval_cli.main(args + ["--legacy-compact"])
     assert "acc1" in r1 and "acc1" in r2
     np.testing.assert_allclose(r1["acc1"], r2["acc1"], atol=1e-6)
+
+
+def test_compact_warmup_cli_smoke(tmp_path):
+    """--compact-capacity with --compact-warmup trains dense for the
+    warmup steps then switches to the compact step (smoke: runs, both
+    jitted steps execute, metrics finite)."""
+    from vitax import resvit_train_cli
+    best = resvit_train_cli.main(
+        ["--dataset", "Synthetic", "--model-arch", "tiny",
+         "--image-size", "32", "--batch-size", "8",
+         "--synthetic-samples", "32", "--train-steps", "8",
+         "--print-freq", "4", "--lr", "0.001", "--warmup-steps", "2",
+         "--num-workers", "0", "--dtype", "float32", "--no-pallas",
+         "--use_lora", "False", "--use_reslr", "True",
+         "--dynamic_start_layer", "1", "--block_size", "1",
+         "--dynamic_router_hdim", "32", "--low_rank_dim", "8",
+         "--n_heads", "3", "--n_kv_heads", "3",
+         "--compact-capacity", "0.75", "--compact-warmup", "4",
+         "--exp-name", "cw", "--exp-root", str(tmp_path)])
+    assert 0.0 <= best <= 1.0

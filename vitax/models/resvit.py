@@ -375,7 +375,8 @@ def _fused_attention_half_rect(x: jnp.ndarray, xc: jnp.ndarray, p: Params,
         xcp, xp, p["attention_norm"]["scale"].astype(jnp.float32),
         p["attention_norm"]["bias"].astype(jnp.float32), wqkv, bqkv,
         wo, bo, cfg.norm_eps, s, cfg.n_heads, cfg.head_dim,
-        cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw)[:, :cap]
+        cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw,
+        getattr(cfg, "int4_attn", False))[:, :cap]
     return out.astype(dt)
 
 

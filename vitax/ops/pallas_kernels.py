@@ -3085,6 +3085,49 @@ def _ln_qkvo_rect_fwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, wq8_ref,
     o_ref[:] = y.reshape(tile, cpq, d)
 
 
+def _ln_qkvo_rect_fwd_int4_kernel(xc_ref, x_ref, g_ref, be_ref, wq4_ref,
+                                  swq_ref, wkv4_ref, swkv_ref, bq_ref,
+                                  bkv_ref, wo4_ref, swo_ref, bo_ref,
+                                  o_ref, *, eps, scale, seq_len, heads,
+                                  head_dim, tile):
+    """A4W4 rect forward: the Q/KV/out projections on the int4 MXU path
+    (core stays bf16/fp32) — the rect analog of _ln_qkvo_fwd_int4_kernel,
+    same opt-in accuracy tier (PERF.md)."""
+    cpq = xc_ref.shape[1]
+    spq = x_ref.shape[1]
+    d = x_ref.shape[2]
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    hhd = heads * head_dim
+
+    xhat_q, _ = _ln_stats(xc_ref[:].reshape(tile * cpq, d)
+                          .astype(jnp.float32), eps)
+    xq_c, sx_c = _quant_rows4(xhat_q * g32 + be32)
+    xhat_k, _ = _ln_stats(x_ref[:].reshape(tile * spq, d)
+                          .astype(jnp.float32), eps)
+    xq_k, sx_k = _quant_rows4(xhat_k * g32 + be32)
+
+    q = (jax.lax.dot_general(xq_c, wq4_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * sx_c * swq_ref[:]
+         + bq_ref[:].astype(jnp.float32)).astype(xc_ref.dtype)
+    kv = (jax.lax.dot_general(xq_k, wkv4_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32
+                              ).astype(jnp.float32) * sx_k * swkv_ref[:]
+          + bkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (cpq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+    _, _, attn32 = _rect_core_recompute(q, kv, ths, cpq, spq, hhd, head_dim,
+                                        scale, seq_len, col, tile, heads,
+                                        jnp.float32)
+    aq, sa = _quant_rows4(attn32)
+    y = jax.lax.dot_general(aq, wo4_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32) * sa * swo_ref[:]
+    y = (y + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = y.reshape(tile, cpq, d)
+
+
 def _ln_qkvo_rect_bwd_kernel(xc_ref, x_ref, g_ref, be_ref, wq_ref, wkv_ref,
                              bq_ref, bkv_ref, wo_ref, do_ref,
                              dxc_ref, dx_ref, dg_ref, dbe_ref, dwq_ref,
@@ -3316,14 +3359,15 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, bq_ref,
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
 def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
                                  eps, seq_len, heads, head_dim, int8=False,
-                                 int8_grad=False, int8_dw=False):
+                                 int8_grad=False, int8_dw=False, int4=False):
     """Rect attention half for token compaction: Q / core rows / out-proj
     on the compacted rows xc [B, CPQ, D] (pad rows zero-filled), K/V on the
     full rows x [B, SPQ, D]. Returns the attention-half output for the
-    COMPACTED rows [B, CPQ, D], WITHOUT residual. Same int8 tiers as
+    COMPACTED rows [B, CPQ, D], WITHOUT residual. Same int8/int4 tiers as
     fused_ln_qkvo_attention; bit-exact vs square-then-gather."""
     scale = 1.0 / math.sqrt(head_dim)
     b, cpq, d = xc.shape
@@ -3345,12 +3389,15 @@ def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
                            memory_space=pltpu.VMEM)
     wospec = pl.BlockSpec((hhd, d), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
-    if int8:
-        wq8, swq = _quant_cols_host(wq)
-        wkv8, swkv = _quant_cols_host(wkv)
-        wo8, swo = _quant_cols_host(wo)
+    if int4 or int8:
+        quant = _quant_cols_host4 if int4 else _quant_cols_host
+        kern = (_ln_qkvo_rect_fwd_int4_kernel if int4
+                else _ln_qkvo_rect_fwd_int8_kernel)
+        wq8, swq = quant(wq)
+        wkv8, swkv = quant(wkv)
+        wo8, swo = quant(wo)
         return pl.pallas_call(
-            functools.partial(_ln_qkvo_rect_fwd_int8_kernel, eps=eps,
+            functools.partial(kern, eps=eps,
                               scale=scale, seq_len=seq_len, heads=heads,
                               head_dim=head_dim, tile=tile),
             grid=(b // tile,),
@@ -3384,15 +3431,17 @@ def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
 
 def _fused_ln_qkvo_rect_fwd(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
                             eps, seq_len, heads, head_dim, int8=False,
-                            int8_grad=False, int8_dw=False):
+                            int8_grad=False, int8_dw=False, int4=False):
     out = fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo,
                                        bo, eps, seq_len, heads, head_dim,
-                                       int8, int8_grad, int8_dw)
+                                       int8, int8_grad, int8_dw, int4)
     return out, (xc, x, gamma, beta, wqkv, bqkv, wo)
 
 
 def _fused_ln_qkvo_rect_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
-                            int8_dw, res, do):
+                            int8_dw, int4, res, do):
+    # int4 applies to the forward projections only; the backward follows
+    # the int8_grad/int8_dw tiers (same contract as the square kernel).
     xc, x, gamma, beta, wqkv, bqkv, wo = res
     scale = 1.0 / math.sqrt(head_dim)
     b, cpq, d = xc.shape

@@ -120,6 +120,15 @@ def get_train_config(argv=None):
     p.add_argument("--save-acts", action="store_true",
                    help="persist (quantized) GELU activations in the fused "
                         "MLP forward; backward skips the fc1 recompute")
+    p.add_argument("--compact-warmup", type=int, default=500,
+                   help="with --compact-capacity: train WITHOUT compaction "
+                        "for this many steps first. The fresh router's "
+                        "keep-bias 5.0 init marks ~all tokens active, so "
+                        "capacity C<1 demotes most tokens from step 0 and "
+                        "training collapses to chance (measured: "
+                        "scripts/compact_convergence.py). Warmup lets the "
+                        "router leave that init before capacity applies; "
+                        "see PERF.md for the measured convergence story")
     p.add_argument("--compact-capacity", type=float, default=None,
                    help="train-time token compaction: the student FFN on "
                         "routed layers runs only on the top-ceil(C*N) "
@@ -286,6 +295,16 @@ def main(argv=None):
                       active=config.initial_lambda_active,
                       distill=config.initial_lambda_distill)
     train_step = make_train_step(cfg, tx, lambdas, donate=True)
+    warm_train_step = None
+    compact_warmup = getattr(config, "compact_warmup", 0) or 0
+    if cfg.compact_capacity is not None and compact_warmup > 0:
+        # dense warmup step: same param/opt pytree, compaction off, so the
+        # router leaves its ~all-active init before capacity starts
+        # dropping overflow tokens (see --compact-warmup help)
+        import dataclasses as _dc
+        warm_train_step = make_train_step(
+            _dc.replace(cfg, compact_capacity=None), tx, lambdas,
+            donate=True)
     eval_step = make_eval_step(cfg, lambdas)
 
     writer = ExperimentWriter(
@@ -296,6 +315,7 @@ def main(argv=None):
     store = CheckpointStore(config.checkpoint_dir)
 
     best_acc = 0.0
+    steps_done = 0
     print(f"training {epochs} epochs x {steps_per_epoch} steps")
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
@@ -305,7 +325,11 @@ def main(argv=None):
                 continue
             images = jnp.asarray(batch.images, cfg.dtype)
             labels = jnp.asarray(batch.labels)
-            state, metrics = train_step(state, images, labels)
+            fn = (warm_train_step
+                  if warm_train_step is not None
+                  and steps_done < compact_warmup else train_step)
+            state, metrics = fn(state, images, labels)
+            steps_done += 1
             if i % config.print_freq == config.print_freq - 1:
                 mh = {k: np.asarray(v) for k, v in metrics.items()}
                 step = int(state.step)
