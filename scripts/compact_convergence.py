@@ -70,9 +70,13 @@ def run(tag, compact_warmup=0, **over):
     def eval_acc(params):
         logits, aux = resvit.apply(params, eimg, cfg, train=False)
         acc = jnp.mean((jnp.argmax(logits, -1) == elab).astype(jnp.float32))
-        return acc, jnp.mean(aux["acts"])
+        # per-layer activation rates: capacity overflow is a PER-LAYER
+        # event, so the max layer rate (not the mean) is what capacity
+        # must cover
+        return acc, jnp.mean(aux["acts"]), jnp.max(
+            jnp.mean(aux["acts"], axis=(0, 1)))
 
-    losses, eaccs, ratios = [], [], []
+    losses, eaccs, ratios, maxrates = [], [], [], []
     for s in range(STEPS):
         img, lab = batches[s % 8]
         fn = warm_step if (warm_step is not None
@@ -80,18 +84,22 @@ def run(tag, compact_warmup=0, **over):
         state, metrics = fn(state, img, lab)
         if s % 50 == 49:
             losses.append(float(metrics["loss"]))
-            a, act = eval_acc(state.params)
+            a, act, mx = eval_acc(state.params)
             eaccs.append(float(a))
             ratios.append(float(act))
+            maxrates.append(float(mx))
     print(f"{tag}: losses={['%.3f' % l for l in losses]}", flush=True)
     print(f"{tag}: HELD-OUT acc1={['%.3f' % a for a in eaccs]} "
-          f"active ratio={['%.3f' % r for r in ratios]}", flush=True)
+          f"active ratio={['%.3f' % r for r in ratios]} "
+          f"max layer rate={['%.3f' % r for r in maxrates]}", flush=True)
     return losses, eaccs
 
 
 WARMUP = int(os.environ.get("CC_WARMUP", "0"))
+CAPS = tuple(float(c) for c in
+             os.environ.get("CC_CAPS", "0.625,0.5").split(","))
 l_d, a_d = run("dense")
-for cap in (0.625, 0.5):
+for cap in CAPS:
     l_c, a_c = run(f"compact-{cap}-w{WARMUP}", compact_capacity=cap,
                    compact_warmup=WARMUP)
     dl = max(abs(a - b) for a, b in zip(l_d[-3:], l_c[-3:]))

@@ -275,3 +275,109 @@ def test_compact_warmup_cli_smoke(tmp_path):
          "--compact-capacity", "0.75", "--compact-warmup", "4",
          "--exp-name", "cw", "--exp-root", str(tmp_path)])
     assert 0.0 <= best <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Capacity-overflow demotion (cfg.compact_demote_overflow, default True)
+# ---------------------------------------------------------------------------
+
+def _forced_router(active_mask):
+    """router_forward stand-in that returns a fixed routing decision
+    (block_size-1 shapes), so overflow composition is controlled exactly."""
+    def f(x, p, cfg, *, train, rng):
+        b, n, _ = x.shape
+        keep = jnp.broadcast_to(active_mask.astype(jnp.float32)[..., None],
+                                (b, n, 1))
+        hard = jnp.stack([1.0 - keep, keep], axis=-1)      # [B,N,1,2]
+        path_ids = jnp.broadcast_to(active_mask.astype(jnp.int32), (b, n))
+        return hard, path_ids, jnp.zeros((), jnp.float32), hard
+    return f
+
+
+def test_overflow_demotes_to_approximator_path(monkeypatch):
+    """Demotion semantics, exactly: compaction with an ALL-ACTIVE router at
+    capacity `cap` must equal the DENSE path under a router that activates
+    exactly the first `cap` tokens — the overflow token executes the
+    inactive branch (LRA for its cleared path bit), not identity."""
+    import dataclasses
+    cfg = cfg_()
+    n = cfg.num_patches + 1                                 # 17 tokens
+    cap_frac = 0.5
+    cap = int(np.ceil(cap_frac * n))                        # 9
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    all_active = jnp.ones((1, n), bool)
+    first_cap = (jnp.arange(n) < cap)[None, :]
+
+    ccfg = dataclasses.replace(cfg, compact_capacity=cap_frac)
+    monkeypatch.setattr(resvit, "router_forward", _forced_router(all_active))
+    got, _ = resvit.apply(params, x, ccfg, train=False)
+    got_t, _ = resvit.apply(params, x, ccfg, train=True,
+                            rng=jax.random.PRNGKey(3))
+
+    monkeypatch.setattr(resvit, "router_forward", _forced_router(first_cap))
+    exp, _ = resvit.apply(params, x, cfg, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               rtol=1e-5, atol=1e-6)
+    # train-mode forward takes the same executed path
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(exp),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_overflow_demote_grads_match_dense_equivalent(monkeypatch):
+    """Grads of the demoted compact program equal the dense program run at
+    the demoted routing (the executed functions are identical)."""
+    import dataclasses
+    cfg = cfg_(use_lora=True)
+    n = cfg.num_patches + 1
+    cap = int(np.ceil(0.5 * n))
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(7)
+
+    ccfg = dataclasses.replace(cfg, compact_capacity=0.5)
+    monkeypatch.setattr(resvit, "router_forward",
+                        _forced_router(jnp.ones((1, n), bool)))
+    (l1, _), g1 = jax.value_and_grad(_train_loss, has_aux=True)(
+        params, x, ccfg, rng)
+
+    monkeypatch.setattr(resvit, "router_forward",
+                        _forced_router((jnp.arange(n) < cap)[None, :]))
+    (l0, _), g0 = jax.value_and_grad(_train_loss, has_aux=True)(
+        params, x, cfg, rng)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for (ka, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                               jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-7, err_msg=str(ka))
+
+
+def test_overflow_identity_mode_differs(monkeypatch):
+    """compact_demote_overflow=False restores the identity fallback: the
+    overflow tokens get neither the block nor the LRA, so the output
+    deviates from the demoted run (sharpness check for the tests above)."""
+    import dataclasses
+    cfg = cfg_()
+    n = cfg.num_patches + 1
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    monkeypatch.setattr(resvit, "router_forward",
+                        _forced_router(jnp.ones((1, n), bool)))
+    dem = dataclasses.replace(cfg, compact_capacity=0.5)
+    idn = dataclasses.replace(cfg, compact_capacity=0.5,
+                              compact_demote_overflow=False)
+    a, _ = resvit.apply(params, x, dem, train=False)
+    b, _ = resvit.apply(params, x, idn, train=False)
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-4
+
+
+def test_compact_overflow_cli_plumbing(tmp_path):
+    from vitax.resvit_train_cli import config_to_model_args, get_train_config
+    base = ["--dataset", "Synthetic", "--exp-root", str(tmp_path),
+            "--compact-capacity", "0.5"]
+    assert config_to_model_args(
+        get_train_config(base)).compact_demote_overflow is True
+    assert config_to_model_args(
+        get_train_config(base + ["--compact-overflow", "identity"])
+    ).compact_demote_overflow is False

@@ -169,9 +169,17 @@ class ResViTConfig:
     # apply path; SURVEY §5 token sparsity generalized from the
     # inference-only resvit_compact): the student FFN runs only on the
     # top-ceil(C·N) tokens ranked active-first. Exact vs the dense path
-    # while the active set fits in capacity; overflowing active tokens
-    # fall back to identity (DynamicViT capacity semantics). None = dense.
+    # while the active set fits in capacity. None = dense.
     compact_capacity: Optional[float] = None
+    # Overflow semantics when actives exceed capacity: True (default)
+    # DEMOTES the overflow token to the inactive branch — its path bit is
+    # cleared so it takes the low-rank approximator trained for exactly
+    # that skip pattern, and later layers see the executed path. False =
+    # identity fallback (DynamicViT capacity semantics; the legacy
+    # resvit_compact behavior). Identity measured to collapse TRAINING
+    # when per-layer actives overflow (distill loss explodes —
+    # scripts/compact_convergence.py, PERF.md); demotion is the fix.
+    compact_demote_overflow: bool = True
 
     @property
     def grid(self) -> Tuple[int, int]:

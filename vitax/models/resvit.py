@@ -425,9 +425,25 @@ def plain_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
     return _mlp_half(x + h_att, p, cfg)
 
 
+def _compact_rank_key(active: jnp.ndarray,
+                      score: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Ranking key for capacity compaction (ascending sort): actives first;
+    within actives by router keep-confidence DESCENDING when `score` is
+    given (DynamicViT-style — overflow then demotes the least-confident
+    actives, not the highest-index ones), else stable by original index.
+    jnp.argsort is stable, so ties always break by index."""
+    if score is None:
+        n = active.shape[-1]
+        return ((~active).astype(jnp.int32) * n
+                + jnp.arange(n, dtype=jnp.int32)[None, :])
+    s = jax.lax.stop_gradient(score.astype(jnp.float32))
+    return (~active).astype(jnp.float32) * 4.0 + (1.0 - s)
+
+
 def compact_routed_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
                          active: jnp.ndarray, cap: int,
-                         mesh=None) -> jnp.ndarray:
+                         mesh=None,
+                         score: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Routed student block with token compaction on the MLP half: returns
     `where(active, block(x), x)` directly, with the FFN computed only on the
     top-`cap` ranked tokens (active first, stable by index — reserved
@@ -445,13 +461,16 @@ def compact_routed_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
 
     Exactness: when every active token fits in `cap`, output == the dense
     path bitwise (per-row math on gathered rows). Active tokens beyond
-    capacity fall back to identity — the standard DynamicViT-style capacity
-    trade-off, same semantics as `resvit_compact.apply_compact`."""
+    capacity keep x here; the CALLER decides their fate —
+    cfg.compact_demote_overflow (default) clears their path bit so
+    apply_approximators gives them the low-rank path instead (see
+    _apply_loop), else they stay identity (DynamicViT capacity semantics,
+    same as `resvit_compact.apply_compact`)."""
     b, n, _ = x.shape
     from jax.ad_checkpoint import checkpoint_name
-    # rank: active first, stable by original index (resvit_compact scheme)
-    rank_key = (~active).astype(jnp.int32) * n + jnp.arange(n)[None, :]
-    order = jnp.argsort(rank_key, axis=-1)                    # [B, N]
+    # rank: active first; by keep-confidence within actives when `score`
+    # is given, else stable by original index (resvit_compact scheme)
+    order = jnp.argsort(_compact_rank_key(active, score), axis=-1)  # [B, N]
     keep_idx = order[:, :cap]                                 # [B, cap]
     kept_active = jnp.take_along_axis(active, keep_idx, axis=1)
 
@@ -514,16 +533,16 @@ def compact_routed_block(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
 def _compact_blk(cfg: ResViTConfig):
     """`compact_routed_block` with the config's remat policy applied
     (same scheme as `block_fn`; cap/mesh are closed over per call site)."""
-    def f(x, lp, active, cap, mesh):
-        g = lambda x, lp, active: compact_routed_block(x, lp, cfg, active,
-                                                       cap, mesh)
+    def f(x, lp, active, cap, mesh, score=None):
+        g = lambda x, lp, active, score: compact_routed_block(
+            x, lp, cfg, active, cap, mesh, score)
         if cfg.remat == "selective":
             g = jax.checkpoint(
                 g, policy=jax.checkpoint_policies.save_only_these_names(
                     "attn_out"))
         elif cfg.remat:
             g = jax.checkpoint(g)
-        return g(x, lp, active)
+        return g(x, lp, active, score)
     return f
 
 
@@ -915,6 +934,9 @@ def _apply_loop(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
                 "path_ids": path_ids,          # [B,N]
                 "approx_params": lp["approximators"],
                 "block_id": role["block_id"],
+                # router keep-confidence, for capacity-overflow ranking
+                # (compaction); stop-grad — ranking is not differentiable
+                "keep_score": jax.lax.stop_gradient(soft[..., 1]),
             }
             r_entropy = r_entropy + entropy
             routing_maps[role["block_id"]] = jax.lax.stop_gradient(
@@ -931,8 +953,34 @@ def _apply_loop(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
         if train:
             teacher = blk(teacher, lp)
         if cap is not None:
-            merged = _compact_blk(cfg)(student, lp, attn_mask[..., 0], cap,
-                                       mesh)
+            active = attn_mask[..., 0]
+            score = None
+            if getattr(cfg, "compact_demote_overflow", True):
+                # Rank actives by the router's keep-confidence (DynamicViT
+                # ranking — reserved initials pinned first), so capacity
+                # overflow falls on the LEAST-confident actives instead of
+                # systematically on the highest-index ones. Demote each
+                # overflow token to the INACTIVE branch: clear its path bit
+                # so apply_approximators applies the LRA trained for
+                # exactly that skip pattern, and later layers (attn_mask,
+                # approximator selection) see the executed path. Identity
+                # fallback (demote=False) measured to collapse training —
+                # the distill loss explodes when a token gets neither the
+                # block nor its approximator
+                # (scripts/compact_convergence.py bisect, PERF.md).
+                score = block_ctx["keep_score"][:, :, pos]
+                if cfg.dynamic_reserve_initials > 0:
+                    score = jnp.where(
+                        jnp.arange(n)[None, :]
+                        < cfg.dynamic_reserve_initials, 2.0, score)
+                key = _compact_rank_key(active, score)
+                rank = jnp.argsort(jnp.argsort(key, axis=-1), axis=-1)
+                overflow = jnp.logical_and(active, rank >= cap)
+                wpos = int(path_id_weights(cfg.block_size)[pos])
+                path_ids = path_ids - wpos * overflow.astype(jnp.int32)
+                block_ctx["path_ids"] = path_ids
+            merged = _compact_blk(cfg)(student, lp, active, cap, mesh,
+                                       score)
         else:
             transformer_out = blk(student, lp)
             merged = jnp.where(attn_mask, transformer_out, student)

@@ -77,6 +77,12 @@ def get_eval_config(argv=None):
                    help="use the reference-shaped apply_compact instead of "
                         "the fused-kernel compact path (A/B; measured 2603 "
                         "vs 4334 img/s @ b64 C=0.5)")
+    p.add_argument("--compact-overflow", type=str, default="demote",
+                   choices=["demote", "identity"],
+                   help="overflowing active tokens take the low-rank "
+                        "approximator path (demote, default) or stay "
+                        "identity (the legacy apply_compact semantics — "
+                        "use for exact legacy A/B)")
     cfg = p.parse_args(argv)
     cfg.num_classes = num_classes_for_dataset(cfg.dataset)
     return cfg
@@ -124,7 +130,9 @@ def main(argv=None):
         use_modern = (cfg.fused_qkv and cfg.fused_qkvo
                       and not getattr(config, "legacy_compact", False))
         ccfg = dataclasses.replace(
-            cfg, compact_capacity=config.compact_capacity)
+            cfg, compact_capacity=config.compact_capacity,
+            compact_demote_overflow=(getattr(config, "compact_overflow",
+                                             "demote") != "identity"))
 
         def _compact_step(params, images, labels, weight):
             if use_modern:

@@ -133,8 +133,14 @@ def get_train_config(argv=None):
                    help="train-time token compaction: the student FFN on "
                         "routed layers runs only on the top-ceil(C*N) "
                         "tokens ranked active-first (exact vs the dense "
-                        "path while the active set fits; overflowing "
-                        "tokens fall back to identity)")
+                        "path while the active set fits)")
+    p.add_argument("--compact-overflow", type=str, default="demote",
+                   choices=["demote", "identity"],
+                   help="overflowing active tokens take the low-rank "
+                        "approximator path (demote, default — the "
+                        "convergence-safe semantics) or stay identity "
+                        "(DynamicViT; measured to collapse training, "
+                        "scripts/compact_convergence.py)")
     p.add_argument("--remat", type=str, nargs="?", const="full",
                    default=None, choices=["none", "full", "selective"],
                    help="block rematerialization (default: none — measured "
@@ -207,6 +213,8 @@ def config_to_model_args(c) -> "resvit_arch_config":
         int4_mlp=int4, int4_attn=int4_attn,
         fused_mlp_save=getattr(c, "save_acts", False),
         compact_capacity=getattr(c, "compact_capacity", None),
+        compact_demote_overflow=(getattr(c, "compact_overflow", "demote")
+                                 != "identity"),
         use_pallas=False if c.no_pallas else None)
 
 
