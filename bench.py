@@ -131,17 +131,19 @@ def main():
         except Exception as e:
             line["bf16_parity"] = {"error": str(e)[:200]}
 
-    # Tertiary: the A4W4 int4 forward tier on top of the int8 stack — the
-    # fastest measured config (PERF.md: +4% over int8). Reported as a
-    # labeled OPT-IN line, not the primary: its quantization band is wide
-    # (~39%/layer) and its convergence evidence (synthetic top-1 98.4% vs
+    # Tertiary: the A4W4 int4 tier (fwd MLP+attn projections + bwd MLP
+    # dx-path) on top of the int8 stack — the fastest measured config
+    # (PERF.md: +8% over int8). Reported as a labeled OPT-IN line, not the
+    # primary: its quantization band is wide (~39%/layer fwd, 15-25%/tensor
+    # grads) and its convergence evidence (synthetic top-1 96.9-98.4% vs
     # int8's 99.2%) is weaker than the int8 stack's, so it needs real-data
     # validation before production use.
     if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
         try:
             i4_value, _, i4_batch = _try_ladder(
                 [(192, dict(**fused, **int8_kw, int8_dw=True,
-                            int4_mlp=True, int4_attn=True))], steps, warmup)
+                            int4_mlp=True, int4_attn=True,
+                            int4_grad=True))], steps, warmup)
             line["int4_optin"] = {
                 "value": round(i4_value, 2),
                 "vs_baseline": round(i4_value / BASELINE_IMG_PER_SEC, 4),

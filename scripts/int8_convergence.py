@@ -68,10 +68,27 @@ def run(tag, **over):
     return losses, eaccs
 
 
-l_fp, a_fp = run("bf16")
-l_q, a_q = run("int8-full", int8_mlp=True, int8_attn=True,
-               int8_mlp_grad=True, int8_attn_grad=True)
-dl = max(abs(a - b) for a, b in zip(l_fp[-4:], l_q[-4:]))
-da = max(abs(a - b) for a, b in zip(a_fp[-4:], a_q[-4:]))
-print(f"final-phase max |loss diff| = {dl:.4f}, max |acc diff| = {da:.4f}",
-      flush=True)
+CONFIGS = {
+    "bf16": {},
+    "int8-full": dict(int8_mlp=True, int8_attn=True,
+                      int8_mlp_grad=True, int8_attn_grad=True),
+    "int8-dw": dict(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
+                    int8_attn_grad=True, int8_dw=True),
+    "int4": dict(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
+                 int8_attn_grad=True, int8_dw=True, int4_mlp=True,
+                 int4_attn=True),
+    "int4-grad": dict(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
+                      int8_attn_grad=True, int8_dw=True, int4_mlp=True,
+                      int4_attn=True, int4_grad=True),
+}
+
+# default pair preserves the original harness; pass tags to compare others,
+# e.g.  python scripts/int8_convergence.py bf16 int4-grad
+tags = sys.argv[1:] or ["bf16", "int8-full"]
+l_fp, a_fp = run(tags[0], **CONFIGS[tags[0]])
+for tag in tags[1:]:
+    l_q, a_q = run(tag, **CONFIGS[tag])
+    dl = max(abs(a - b) for a, b in zip(l_fp[-4:], l_q[-4:]))
+    da = max(abs(a - b) for a, b in zip(a_fp[-4:], a_q[-4:]))
+    print(f"{tag} vs {tags[0]}: final-phase max |loss diff| = {dl:.4f}, "
+          f"max |acc diff| = {da:.4f}", flush=True)

@@ -30,6 +30,8 @@ def main():
                     help="A4W4 int4 MLP forward (overrides int8 fwd)")
     ap.add_argument("--int4-attn", action="store_true",
                     help="A4W4 int4 qkv/out-projection forward too")
+    ap.add_argument("--int4-grad", action="store_true",
+                    help="A4W4 int4 backward dx-path in the fused MLP too")
     args = ap.parse_args()
 
     from vitax.core.config import arch_config
@@ -42,7 +44,8 @@ def main():
     if not args.bf16:
         kw.update(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
                   int8_attn_grad=True, int8_dw=not args.no_int8_dw,
-                  int4_mlp=args.int4, int4_attn=args.int4_attn)
+                  int4_mlp=args.int4 or args.int4_grad,
+                  int4_attn=args.int4_attn, int4_grad=args.int4_grad)
     cfg = arch_config("b16", image_size=224, num_classes=100,
                       dtype=jnp.bfloat16, use_pallas=False, **kw)
     params = vit.init_params(jax.random.PRNGKey(0), cfg)

@@ -44,6 +44,13 @@ def test_int4_stacks_with_grad_tiers(tmp_path):
     assert cfg.int4_mlp and cfg.int8_dw and cfg.int8_mlp_grad
 
 
+def test_int4_grad_implies_int4(tmp_path):
+    cfg = _vit_cfg(tmp_path, "--int4-grad")
+    assert cfg.int4_grad and cfg.int4_mlp and cfg.int8_mlp
+    cfg = _vit_cfg(tmp_path, "--int4")
+    assert not cfg.int4_grad
+
+
 def test_int8_forward_only(tmp_path):
     cfg = _vit_cfg(tmp_path, "--int8")
     assert cfg.int8_mlp and cfg.int8_attn
@@ -93,6 +100,8 @@ def test_resvit_int8_grad_implies_int8(tmp_path):
 def test_resvit_int4_implies_int8(tmp_path):
     cfg = _resvit_cfg(tmp_path, "--int4")
     assert cfg.int4_mlp and cfg.int8_mlp and cfg.int8_attn
+    cfg = _resvit_cfg(tmp_path, "--int4-grad")
+    assert cfg.int4_grad and cfg.int4_mlp and cfg.int8_mlp
     assert cfg.fused_mlp is not None  # int8-on default logic still applies
 
 

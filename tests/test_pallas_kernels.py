@@ -497,6 +497,36 @@ def test_ln_mlp_int4_close_to_fp_and_grads_exact():
                                    rtol=1e-6, atol=1e-6, err_msg=name)
 
 
+def test_ln_mlp_int4_grad_within_band():
+    """A4W4 backward dx-path (int4_grad, deepest gradient tier): the
+    forward is the unchanged int4 forward (bit-identical), and the grads
+    land within the wide 15-level quantization band of the fp grads —
+    this guards broken scales / transposed contractions, not tight
+    accuracy (PERF.md documents the band). db2's path has no quantized
+    operand, so it stays exact."""
+    args = _mlp_args(jax.random.PRNGKey(21), b=2, s=64, d=128, m=256)
+
+    def loss(**kw):
+        def f(*a):
+            return jnp.sum(pk.fused_ln_mlp(*a, 1e-5, **kw))
+        return f
+
+    out_a = pk.fused_ln_mlp(*args, 1e-5, int4=True)
+    out_b = pk.fused_ln_mlp(*args, 1e-5, int4=True, int4_grad=True)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+    gfp = jax.grad(loss(), argnums=tuple(range(7)))(*args)
+    for dw_kw in (dict(int8_grad=True, int8_dw=True), dict()):
+        g4 = jax.grad(loss(int4=True, int4_grad=True, **dw_kw),
+                      argnums=tuple(range(7)))(*args)
+        for name, a, b_ in zip("x g be w1 b1 w2 b2".split(), gfp, g4):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-6
+            err = float(jnp.max(jnp.abs(b_ - a)))
+            assert err < 0.5 * scale + 1e-3, (name, err, scale, dw_kw)
+        np.testing.assert_allclose(np.asarray(g4[6]), np.asarray(gfp[6]),
+                                   rtol=1e-5)  # db2 untouched
+
+
 def test_ln_mlp_int8_save_matches_int8_recompute():
     """int8 save-acts (h1q/sh/g'q persisted, pure-int8-matmul backward):
     forward identical to the int8 forward; grads within a small band of the

@@ -75,6 +75,10 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
     p.add_argument("--int4-attn", action="store_true",
                    help="A4W4 int4 qkv/out-projection forward matmuls too "
                         "(implies --int4; the attention core stays bf16)")
+    p.add_argument("--int4-grad", action="store_true",
+                   help="A4W4 int4 backward dx-path matmuls in the fused "
+                        "MLP too (implies --int4; dW stays >=8-bit). "
+                        "Deepest gradient tier — see PERF.md before using")
     p.add_argument("--int8-dw", action="store_true",
                    help="Jetfire per-block int8 dW matmuls in the MLP and "
                         "attention backwards (implies --int8-grad; deepest "

@@ -75,6 +75,11 @@ class ViTConfig:
     # kernel (the attention core stays bf16/fp32); backward follows
     # int8_attn_grad/int8_dw. Same opt-in tier as int4_mlp.
     int4_attn: bool = False
+    # A4W4 int4 backward dx-path matmuls in the fused MLP (fc1 recompute,
+    # dh1, dxn); dW stays >=8-bit. Requires int4_mlp. Deepest gradient
+    # tier — 4-bit gradients are where quantized training diverges; see
+    # PERF.md for the convergence evidence before using.
+    int4_grad: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -157,6 +162,8 @@ class ResViTConfig:
     int4_mlp: bool = False
     # A4W4 int4 qkv/out-projection forward matmuls (see ViTConfig.int4_attn)
     int4_attn: bool = False
+    # A4W4 int4 backward dx-path matmuls (see ViTConfig.int4_grad)
+    int4_grad: bool = False
     # persist (quantized) GELU activations/derivative in the fused MLP
     # forward so the backward skips the fc1 recompute (see ViTConfig)
     fused_mlp_save: bool = False

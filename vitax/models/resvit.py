@@ -401,7 +401,8 @@ def _mlp_half(h: jnp.ndarray, p: Params, cfg: ResViTConfig) -> jnp.ndarray:
                 cfg.norm_eps, save_acts=cfg.fused_mlp_save,
                 int8=cfg.int8_mlp,
                 int8_grad=cfg.int8_mlp_grad, int8_dw=cfg.int8_dw,
-                int4=getattr(cfg, "int4_mlp", False))
+                int4=getattr(cfg, "int4_mlp", False),
+                int4_grad=getattr(cfg, "int4_grad", False))
     return h + feed_forward(layer_norm(h, p["ffn_norm"]["scale"],
                                        p["ffn_norm"]["bias"], cfg.norm_eps,
                                        use_pallas=cfg.use_pallas),

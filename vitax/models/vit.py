@@ -256,7 +256,8 @@ def _fused_block_mlp(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
             w1, lp["mlp"]["fc1"]["bias"].astype(jnp.float32),
             w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), mesh, LN_EPS,
             int8=cfg.int8_mlp, int8_grad=cfg.int8_mlp_grad,
-            int8_dw=cfg.int8_dw, int4=cfg.int4_mlp)
+            int8_dw=cfg.int8_dw, int4=cfg.int4_mlp,
+            int4_grad=cfg.int4_grad)
 
     if not pk.ln_mlp_supported(x, w1, w2):
         return None
@@ -267,7 +268,7 @@ def _fused_block_mlp(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
         w2, lp["mlp"]["fc2"]["bias"].astype(jnp.float32), LN_EPS,
         save_acts=cfg.fused_mlp_save, int8=cfg.int8_mlp,
         int8_grad=cfg.int8_mlp_grad, int8_dw=cfg.int8_dw,
-        int4=cfg.int4_mlp)
+        int4=cfg.int4_mlp, int4_grad=cfg.int4_grad)
 
 
 def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,

@@ -924,6 +924,16 @@ def _quant_cols_host4(w):
     return q, s[0]
 
 
+def _quant_rows_host4(w):
+    """Per-row symmetric int4 for a [K, N] weight contracted over N
+    (the W4 side of the A4W4 backward dx-path matmuls)."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(w32 / s), -7.0, 7.0).astype(_i4_dtype())
+    return q, s[:, 0]
+
+
 def _ln_mlp_fwd_int4_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
                             w2q_ref, s2_ref, b2_ref, o_ref, *, eps, chunks,
                             residual):
@@ -964,6 +974,125 @@ def _ln_mlp_fwd_int4_kernel(x_ref, g_ref, be_ref, w1q_ref, s1_ref, b1_ref,
             o_ref[sl, :] = x_ref[sl, :] + y.astype(x_ref.dtype)
         else:
             o_ref[sl, :] = y.astype(x_ref.dtype)
+
+
+def _ln_mlp_bwd_int4_kernel(x_ref, g_ref, be_ref, b1_ref,
+                            w1q_ref, s1r_ref, w2q_ref, s2r_ref,
+                            w1c_ref, s1c_ref, do_ref,
+                            dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref,
+                            dw2_ref, db2_ref, *, eps, residual, chunks,
+                            int8_dw=False):
+    """A4W4 backward dx-path: the fc1 recompute, dh1 = do W2ᵀ and
+    dxn = dh1 W1ᵀ matmuls all run int4×int4 on the int4 MXU (1.32×
+    the int8 rate in-kernel, scripts/int4_probe.py). The weight-grad
+    matmuls stay ≥8-bit — dW is where quantized training actually
+    diverges (SwitchBack precision split, PAPERS.md #6): int8_dw=True
+    quantizes BOTH dW operands per-column int8 (the row-scale folding
+    of the int8 kernel can't apply here — the row tensors are int4 and
+    mixed int4×int8 dots are Mosaic-rejected), else dW stays bf16.
+    Deepest-precision gradient tier; opt-in (`--int4-grad`)."""
+    i = pl.program_id(0)
+    rows = x_ref.shape[0] // chunks
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+    b1f = b1_ref[:].astype(jnp.float32)
+    s1r = s1r_ref[:]
+    s2r = s2r_ref[:]
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+
+    xns, xhats, rstds = [], [], []
+    for sl in sls:
+        x32 = x_ref[sl, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = xc * rstd
+        xns.append((xhat * g32 + be32).astype(x_ref.dtype))
+        xhats.append(xhat)
+        rstds.append(rstd)
+    # int4 fc1 recompute: a1 feeds gelu_grad/h1 only (dW1 keeps bf16 xn)
+    xqs = [_quant_rows4(xn.astype(jnp.float32)) for xn in xns]
+    a1s = [jax.lax.dot_general(xq, w1c_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32
+                               ).astype(jnp.float32) * sxq * s1c_ref[:] + b1f
+           for xq, sxq in xqs]
+    # int4 dh1f = do @ W2ᵀ (both per-row over the contracted D axis)
+    doqs = [_quant_rows4(do_ref[sl, :].astype(jnp.float32)) for sl in sls]
+    dh1fs = [jax.lax.dot_general(doq, w2q_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32) * sdo * s2r
+             for doq, sdo in doqs]
+    h1s = [_gelu_q(a1).astype(x_ref.dtype) for a1 in a1s]
+    gps = [_gelu_grad_q(a1) for a1 in a1s]
+    dh1_32s = [dh1f * gp for dh1f, gp in zip(dh1fs, gps)]
+    dh1s = [d.astype(x_ref.dtype) for d in dh1_32s]
+    dh1qs = [_quant_rows4(d) for d in dh1_32s]
+    if int8_dw:
+        # per-block int8 dW, both operands per-COLUMN (over the row /
+        # contraction axis) — 4 fresh packs/chunk; the folding reuse is
+        # int8-only
+        dw2_part = jnp.zeros((dw2_ref.shape[0], dw2_ref.shape[1]),
+                             jnp.float32)
+        dw1_part = jnp.zeros((dw1_ref.shape[0], dw1_ref.shape[1]),
+                             jnp.float32)
+        for sl, h1, xn, dh1_32 in zip(sls, h1s, xns, dh1_32s):
+            do32 = do_ref[sl, :].astype(jnp.float32)
+            h1q, shc = _quant_cols(h1.astype(jnp.float32))
+            doqc, sdoc = _quant_cols(do32)
+            dw2_part = dw2_part + jax.lax.dot_general(
+                h1q, doqc, _AT_B, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * shc[0][:, None] * sdoc[0][None, :]
+            xnq, sxnc = _quant_cols(xn.astype(jnp.float32))
+            dh1qc, sdhc = _quant_cols(dh1_32)
+            dw1_part = dw1_part + jax.lax.dot_general(
+                xnq, dh1qc, _AT_B, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * sxnc[0][:, None] * sdhc[0][None, :]
+    else:
+        dw2_part = sum(jax.lax.dot_general(h1, do_ref[sl, :], _AT_B,
+                                           preferred_element_type=jnp.float32)
+                       for sl, h1 in zip(sls, h1s))
+        dw1_part = sum(jax.lax.dot_general(xn, dh1, _AT_B,
+                                           preferred_element_type=jnp.float32)
+                       for xn, dh1 in zip(xns, dh1s))
+    db2_part = jnp.sum(do_ref[:].astype(jnp.float32), axis=0)
+    db1_part = sum(jnp.sum(d, axis=0) for d in dh1_32s)
+    # int4 dxn = dh1 @ W1ᵀ (both per-row over the contracted M axis)
+    dxns = [jax.lax.dot_general(dq, w1q_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sd * s1r
+            for dq, sd in dh1qs]
+    dg_part = jnp.zeros_like(g32)
+    dbe_part = jnp.zeros_like(g32)
+    for sl, dxn, xhat, rstd in zip(sls, dxns, xhats, rstds):
+        dyg = dxn * g32
+        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+        dxln = rstd * (dyg - m1 - xhat * m2)
+        if residual:
+            dx_ref[sl, :] = do_ref[sl, :] + dxln.astype(dx_ref.dtype)
+        else:
+            dx_ref[sl, :] = dxln.astype(dx_ref.dtype)
+        dg_part = dg_part + jnp.sum(dxn * xhat, axis=0)
+        dbe_part = dbe_part + jnp.sum(dxn, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw1_ref[:] = dw1_part
+        db1_ref[:] = db1_part
+        dw2_ref[:] = dw2_part
+        db2_ref[:] = db2_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw1_ref[:] = dw1_ref[:] + dw1_part
+        db1_ref[:] = db1_ref[:] + db1_part
+        dw2_ref[:] = dw2_ref[:] + dw2_part
+        db2_ref[:] = db2_ref[:] + db2_part
 
 
 def _ln_mlp_bwd_int8_kernel(x_ref, g_ref, be_ref, b1_ref,
@@ -1598,27 +1727,70 @@ def _ln_mlp_fwd_int4_call(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
     )(x2, gamma, beta, w1q, s1, b1, w2q, s2, b2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _ln_mlp_bwd_int4_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
+                          int8_dw=False):
+    n, d = x2.shape
+    m = w1.shape[1]
+    w1q, s1r = _quant_rows_host4(w1)   # contracted over M in dxn
+    w2q, s2r = _quant_rows_host4(w2)   # contracted over D in dh1
+    w1c, s1c = _quant_cols_host4(w1)   # fc1 recompute (over D)
+    rows = _ln_mlp_rows(n, int8=True)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_int4_kernel, eps=eps,
+                          residual=residual, chunks=_bwd_chunks(rows),
+                          int8_dw=int8_dw),
+        grid=(n // rows,),
+        in_specs=[row_blk, vec(d), vec(d), vec(m),
+                  mat(d, m), vec(d), mat(m, d), vec(m),
+                  mat(d, m), vec(m), row_blk],
+        out_specs=(row_blk, vec(d), vec(d), mat(d, m), vec(m), mat(m, d),
+                   vec(d)),
+        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d, m), jnp.float32),
+                   jax.ShapeDtypeStruct((m,), jnp.float32),
+                   jax.ShapeDtypeStruct((m, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * d * m, transcendentals=2 * n * m,
+            bytes_accessed=3 * n * d * x2.dtype.itemsize + 10 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, b1, w1q, s1r, w2q, s2r, w1c, s1c, do2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _ln_mlp_2d_int4(x2, gamma, beta, w1, b1, w2, b2, eps, residual,
-                    int8_grad=False, int8_dw=False):
+                    int8_grad=False, int8_dw=False, int4_grad=False):
     return _ln_mlp_fwd_int4_call(x2, gamma, beta, w1, b1, w2, b2, eps,
                                  residual)
 
 
 def _ln_mlp_2d_int4_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual,
-                        int8_grad=False, int8_dw=False):
+                        int8_grad=False, int8_dw=False, int4_grad=False):
     out = _ln_mlp_fwd_int4_call(x2, gamma, beta, w1, b1, w2, b2, eps,
                                 residual)
     return out, (x2, gamma, beta, w1, b1, w2)
 
 
-def _ln_mlp_2d_int4_bwd(eps, residual, int8_grad, int8_dw, res, do2):
-    # Gradients stay >=8-bit: the int4 forward is treated as a noisy
-    # approximation of the bf16 function (same STE stance as the int8 tier);
-    # 4-bit GRADIENT operands were not attempted — that is where quantized
-    # training actually diverges.
+def _ln_mlp_2d_int4_bwd(eps, residual, int8_grad, int8_dw, int4_grad, res,
+                        do2):
+    # Default: gradients stay >=8-bit — the int4 forward is treated as a
+    # noisy approximation of the bf16 function (same STE stance as the int8
+    # tier); 4-bit gradients are where quantized training actually
+    # diverges. int4_grad=True opts the dx-path matmuls into A4W4 too
+    # (dW stays >=8-bit even there).
     x2, gamma, beta, w1, b1, w2 = res
-    if int8_grad:
+    if int4_grad:
+        dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_int4_call(
+            x2, gamma, beta, w1, b1, w2, do2, eps, residual, int8_dw)
+    elif int8_grad:
         dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_int8_call(
             x2, gamma, beta, w1, b1, w2, do2, eps, residual, int8_dw)
     else:
@@ -1779,7 +1951,7 @@ _ln_mlp_2d_int8s.defvjp(_ln_mlp_2d_int8s_fwd, _ln_mlp_2d_int8s_bwd)
 
 def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
                  save_acts=False, int8=False, int8_grad=False,
-                 int8_dw=False, int4=False):
+                 int8_dw=False, int4=False, int4_grad=False):
     """out = x + fc2(GELU_exact(fc1(LN(x)))) for x [B,S,D] (or any leading
     shape); LN statistics and all grad accumulation fp32. Returns x.dtype.
     residual=False returns just fc2(GELU(fc1(LN(x)))) + b2 — for TP
@@ -1789,7 +1961,9 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
     recompute (10NDM + erf + exp) — trades 2x[N,M] HBM traffic for FLOPs.
     int4=True runs the FORWARD matmuls A4W4 (overrides int8 forward; the
     backward still follows int8_grad/int8_dw) — deepest, accuracy-riskiest
-    tier, opt-in."""
+    tier, opt-in. int4_grad=True (requires int4) additionally runs the
+    backward dx-path matmuls (fc1 recompute, dh1, dxn) A4W4; dW stays
+    >=8-bit (int8 per-column when int8_dw, else bf16)."""
     lead = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
@@ -1799,7 +1973,7 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
     if int4:
         out = _ln_mlp_2d_int4(x2, gamma, beta, w1, b1, w2, b2, eps,
-                              residual, int8_grad, int8_dw)
+                              residual, int8_grad, int8_dw, int4_grad)
     elif int8 and int8_grad and save_acts:
         out = _ln_mlp_2d_int8s(x2, gamma, beta, w1, b1, w2, b2, eps,
                                residual, int8_dw)

@@ -104,7 +104,8 @@ def fused_qkvo_attention_tp(x, wq, wk, wv, bq, bk, bv, wo, bo, mesh: Mesh,
 
 def fused_ln_mlp_tp(x, gamma, beta, w1, b1, w2, b2, mesh: Mesh, eps: float,
                     int8: bool = False, int8_grad: bool = False,
-                    int8_dw: bool = False, int4: bool = False):
+                    int8_dw: bool = False, int4: bool = False,
+                    int4_grad: bool = False):
     """LN2+fc1+GELU+fc2 fused kernel, per model-shard: fc1 column-parallel
     [D,M/tp], fc2 row-parallel [M/tp,D]; per-shard partials psum'd, then the
     residual x and b2 are added ONCE. Same result as fused_ln_mlp."""
@@ -114,7 +115,7 @@ def fused_ln_mlp_tp(x, gamma, beta, w1, b1, w2, b2, mesh: Mesh, eps: float,
         y = pk.fused_ln_mlp(x, g, be, w1, b1, w2,
                             jnp.zeros((x.shape[-1],), jnp.float32), eps,
                             residual=False, int8=int8, int8_grad=int8_grad,
-                            int8_dw=int8_dw, int4=int4)
+                            int8_dw=int8_dw, int4=int4, int4_grad=int4_grad)
         return jax.lax.psum(y, MODEL_AXIS)
 
     y = jax.shard_map(

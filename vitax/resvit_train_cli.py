@@ -117,6 +117,10 @@ def get_train_config(argv=None):
     p.add_argument("--int4-attn", action="store_true",
                    help="A4W4 int4 qkv/out-projection forward matmuls too "
                         "(implies --int4; the attention core stays bf16)")
+    p.add_argument("--int4-grad", action="store_true",
+                   help="A4W4 int4 backward dx-path matmuls in the fused "
+                        "MLP too (implies --int4; dW stays >=8-bit). "
+                        "Deepest gradient tier — see PERF.md before using")
     p.add_argument("--save-acts", action="store_true",
                    help="persist (quantized) GELU activations in the fused "
                         "MLP forward; backward skips the fc1 recompute")
@@ -172,7 +176,8 @@ def config_to_model_args(c) -> "resvit_arch_config":
     int8_dw = getattr(c, "int8_dw", False)
     int8_grad = getattr(c, "int8_grad", False) or int8_dw
     int4_attn = getattr(c, "int4_attn", False)
-    int4 = getattr(c, "int4", False) or int4_attn
+    int4_grad = getattr(c, "int4_grad", False)
+    int4 = getattr(c, "int4", False) or int4_attn or int4_grad
     int8 = getattr(c, "int8", False) or int8_grad or int4
     fused_mlp = getattr(c, "fused_mlp", None)
     if fused_mlp is None:
@@ -210,7 +215,7 @@ def config_to_model_args(c) -> "resvit_arch_config":
         fused_mlp=fused_mlp, remat=remat,
         int8_attn=int8, int8_attn_grad=int8_grad,
         int8_mlp=int8, int8_mlp_grad=int8_grad, int8_dw=int8_dw,
-        int4_mlp=int4, int4_attn=int4_attn,
+        int4_mlp=int4, int4_attn=int4_attn, int4_grad=int4_grad,
         fused_mlp_save=getattr(c, "save_acts", False),
         compact_capacity=getattr(c, "compact_capacity", None),
         compact_demote_overflow=(getattr(c, "compact_overflow", "demote")

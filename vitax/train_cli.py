@@ -130,7 +130,8 @@ def model_config_from_cli(config):
     int8_dw = getattr(config, "int8_dw", False)
     int8_grad = getattr(config, "int8_grad", False) or int8_dw
     int4_attn = getattr(config, "int4_attn", False)
-    int4 = getattr(config, "int4", False) or int4_attn
+    int4_grad = getattr(config, "int4_grad", False)
+    int4 = getattr(config, "int4", False) or int4_attn or int4_grad
     int8 = getattr(config, "int8", False) or int8_grad or int4
     remat = config.remat
     if remat is None:
@@ -147,6 +148,7 @@ def model_config_from_cli(config):
                        int8_mlp=int8, int8_attn=int8,
                        int8_mlp_grad=int8_grad, int8_attn_grad=int8_grad,
                        int8_dw=int8_dw, int4_mlp=int4, int4_attn=int4_attn,
+                       int4_grad=int4_grad,
                        fused_mlp_save=getattr(config, "save_acts", False),
                        use_pallas=False if config.no_pallas else None)
 
