@@ -357,6 +357,21 @@ def test_ln_qkvo_int4_close_to_fp_and_grads_exact():
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
 
+    # int4_grad: backward dx-path A4W4 — grads within the wide 15-level
+    # band of the fp grads (guards broken scales/contractions, not tight
+    # accuracy); forward unchanged vs int4
+    gfp = jax.grad(loss(), argnums=(0, 1, 2))(x, wqkv, wo)
+    g4g = jax.grad(loss(int4=True, int8=True, int8_grad=True, int8_dw=True,
+                        int4_grad=True), argnums=(0, 1, 2))(x, wqkv, wo)
+    for name, a, b_ in zip("x wqkv wo".split(), gfp, g4g):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(b_ - a)))
+        assert err < 0.5 * scale + 1e-3, (name, err, scale)
+    out_g = pk.fused_ln_qkvo_attention(x, g, be, wqkv, bqkv, wo, bo,
+                                       1e-5, s_, h, hd, True, True, True,
+                                       True, True)
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_g))
+
 
 def test_ln_mlp_int8_grad_close_to_fp():
     """SwitchBack backward (int8 dx-path): dx/dW within quantization error

@@ -75,10 +75,12 @@ class ViTConfig:
     # kernel (the attention core stays bf16/fp32); backward follows
     # int8_attn_grad/int8_dw. Same opt-in tier as int4_mlp.
     int4_attn: bool = False
-    # A4W4 int4 backward dx-path matmuls in the fused MLP (fc1 recompute,
-    # dh1, dxn); dW stays >=8-bit. Requires int4_mlp. Deepest gradient
-    # tier — 4-bit gradients are where quantized training diverges; see
-    # PERF.md for the convergence evidence before using.
+    # A4W4 int4 backward dx-path matmuls: in the fused MLP (fc1 recompute,
+    # dh1, dxn) and — when int4_attn is also set — the fused attention
+    # backward's qkv recompute + dattn/dxn projections; dW stays >=8-bit,
+    # the attention-core grads stay bf16. Requires int4_mlp. Deepest
+    # gradient tier — 4-bit gradients are where quantized training
+    # diverges; see PERF.md for the convergence evidence before using.
     int4_grad: bool = False
 
     @property

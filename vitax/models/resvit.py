@@ -341,7 +341,9 @@ def _fused_attention_half(x: jnp.ndarray, p: Params, cfg: ResViTConfig,
         p["attention_norm"]["bias"].astype(jnp.float32), wqkv, bqkv,
         wo, bo, cfg.norm_eps, s, cfg.n_heads, cfg.head_dim,
         cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw,
-        getattr(cfg, "int4_attn", False))[:, :s]
+        getattr(cfg, "int4_attn", False),
+        getattr(cfg, "int4_grad", False)
+        and getattr(cfg, "int4_attn", False))[:, :s]
     return out.astype(dt)
 
 

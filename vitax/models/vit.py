@@ -202,7 +202,8 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
             p["out"]["bias"].astype(jnp.float32),
             mesh, LN_EPS, s, h, hd,
             cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw,
-            cfg.int4_attn)[:, :s]
+            cfg.int4_attn,
+            cfg.int4_grad and cfg.int4_attn)[:, :s]
         return out.astype(dt)
 
     wq = p["query"]["kernel"].astype(dt).reshape(d, h * hd)
@@ -224,7 +225,8 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
         xp, lp["ln1"]["scale"].astype(jnp.float32),
         lp["ln1"]["bias"].astype(jnp.float32), wqkv, bqkv, wo, bo,
         LN_EPS, s, h, hd, cfg.int8_attn, cfg.int8_attn_grad,
-        cfg.int8_dw, cfg.int4_attn)[:, :s]
+        cfg.int8_dw, cfg.int4_attn,
+        cfg.int4_grad and cfg.int4_attn)[:, :s]
     return out.astype(dt)
 
 

@@ -2756,7 +2756,8 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
                              wo8r_ref, swor_ref, do_ref,
                              dx_ref, dg_ref, dbe_ref, dw_ref, db_ref,
                              dwo_ref, dbo_ref, *, eps, scale, seq_len,
-                             heads, head_dim, tile, int8_dw=False):
+                             heads, head_dim, tile, int8_dw=False,
+                             int4_grad=False):
     """int8 variant of the tiled backward: the qkv RECOMPUTE and both
     dL/dx-path projections (dattn = do Woᵀ, dxn = dqkv Wᵀ) run W8A8;
     the attention-core grads stay bf16 (SwitchBack precision split).
@@ -2765,7 +2766,13 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
     the dense refs would be ~3.5 MB of dead VMEM residency per grid step.
     int8_dw=True additionally runs dW/dWo as Jetfire-style per-block int8
     matmuls (per-column scales over the grid step's row block, int32
-    accumulation in-block, fp32 accumulation across blocks)."""
+    accumulation in-block, fp32 accumulation across blocks).
+    int4_grad=True (the caller then passes int4 weight forms/scales) drops
+    the recompute + dx-path matmuls to A4W4; dW/dWo stay >=8-bit — the
+    row-scale folding can't reuse int4 row tensors (mixed int4×int8 dots
+    are Mosaic-rejected), so int8_dw falls back to fresh per-column int8
+    packs of both dW operands."""
+    _qr = _quant_rows4 if int4_grad else _quant_rows
     i = pl.program_id(0)
     spq = x_ref.shape[1]
     d_model = x_ref.shape[2]
@@ -2782,7 +2789,7 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
     xn32 = xhat * g32 + be_ref[:].astype(jnp.float32)
     xn = xn32.astype(x_ref.dtype)
 
-    xq, sx = _quant_rows(xn32)
+    xq, sx = _qr(xn32)
     qkv = jax.lax.dot_general(xq, w8_ref[:], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32
                               ).astype(jnp.float32) * sx * sw_ref[:]
@@ -2795,12 +2802,20 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
                                           scale, seq_len, col, tile, heads,
                                           xn.dtype)
 
-    doq, sdo = _quant_rows(do_y.astype(jnp.float32))
+    doq, sdo = _qr(do_y.astype(jnp.float32))
     dattn32 = jax.lax.dot_general(doq, wo8r_ref[:], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32
                                   ).astype(jnp.float32) * sdo * swor_ref[:]
     dattn = dattn32.astype(xn.dtype)
-    if int8_dw:
+    if int8_dw and int4_grad:
+        # int4 row tensors can't fold into an int8 dW matmul — quantize
+        # both dWo operands per-column int8 directly
+        attnq, sat = _quant_cols(attn.astype(jnp.float32))
+        doqc, sdoc = _quant_cols(do_y.astype(jnp.float32))
+        dwo_part = jax.lax.dot_general(
+            attnq, doqc, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sat[0][:, None] * sdoc[0][None, :]
+    elif int8_dw:
         # row-scale folding (see the MLP backward): reuse the per-row int8
         # doq from the dattn matmul as the dWo operand, folding its row
         # scales into attn before attn's per-column quantization — drops
@@ -2818,7 +2833,7 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
                             scale, tile, heads, xn.dtype)
 
     dqkv32 = dqkv.astype(jnp.float32)
-    dqq, sdq = _quant_rows(dqkv32)
+    dqq, sdq = _qr(dqkv32)
     dxn = jax.lax.dot_general(dqq, w8r_ref[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32
                               ).astype(jnp.float32) * sdq * swr_ref[:]
@@ -2830,7 +2845,13 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
 
     dg_part = jnp.sum(dxn * xhat, axis=0)
     dbe_part = jnp.sum(dxn, axis=0)
-    if int8_dw:
+    if int8_dw and int4_grad:
+        xnq2, sxn2 = _quant_cols(xn32)
+        dqqc, sdqc = _quant_cols(dqkv32)
+        dw_part = jax.lax.dot_general(
+            xnq2, dqqc, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sxn2[0][:, None] * sdqc[0][None, :]
+    elif int8_dw:
         # row-scale folding: reuse the per-row int8 dqq from the dxn
         # matmul as the dW operand — drops the per-col quantization pass
         # over dqkv [rows, 3·H·Hd], the biggest VPU item in this dW path
@@ -2863,10 +2884,11 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
 def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
                             eps, seq_len, heads, head_dim, int8=False,
-                            int8_grad=False, int8_dw=False, int4=False):
+                            int8_grad=False, int8_dw=False, int4=False,
+                            int4_grad=False):
     """LN + QKV projection + attention core + out-projection in one kernel.
     Takes the PRE-LN block input x [B,SPQ,D] (pad rows zero-filled);
     backward emits dx through the LN and accumulates dγ/dβ/dW/db/dWo/dbo.
@@ -2874,7 +2896,9 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
     int8_dw adds Jetfire-style per-block int8 dW/dWo matmuls.
     int4=True runs the FORWARD projections A4W4 (overrides int8 forward;
     the backward still follows int8_grad/int8_dw) — same opt-in accuracy
-    tier as fused_ln_mlp's int4."""
+    tier as fused_ln_mlp's int4. int4_grad=True (requires int8_grad)
+    drops the backward's qkv recompute + dattn/dxn projections to A4W4
+    too; dW/dWo stay >=8-bit, the attention-core grads stay bf16."""
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
@@ -2956,10 +2980,11 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
 
 def _fused_ln_qkvo_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
                        eps, seq_len, heads, head_dim, int8=False,
-                       int8_grad=False, int8_dw=False, int4=False):
+                       int8_grad=False, int8_dw=False, int4=False,
+                       int4_grad=False):
     out = fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
                                   eps, seq_len, heads, head_dim, int8,
-                                  int8_grad, int8_dw, int4)
+                                  int8_grad, int8_dw, int4, int4_grad)
     return out, (x, gamma, beta, wqkv, bqkv, wo)
 
 
@@ -2974,11 +2999,11 @@ def _qkvo_bwd_tile(b: int) -> int:
 
 
 def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
-                       int8_dw, int4, res, do):
-    # int4 applies to the forward projections only; the backward recompute
-    # and gradient matmuls follow the int8_grad/int8_dw tiers unchanged
-    # (same contract as fused_ln_mlp's int4 — int4 GRADIENTS are where
-    # quantized training actually diverges, PERF.md).
+                       int8_dw, int4, int4_grad, res, do):
+    # int4 applies to the forward projections; the backward follows the
+    # int8_grad/int8_dw tiers unless int4_grad opts the recompute +
+    # dattn/dxn projections into A4W4 as well (dW/dWo stay >=8-bit; the
+    # attention-core grads stay bf16 at every tier).
     x, gamma, beta, wqkv, bqkv, wo = res
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
@@ -2987,14 +3012,16 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
     if int8 and int8_grad:
-        w8, sw = _quant_cols_host(wqkv)       # qkv recompute (over D)
-        w8r, swr = _quant_rows_host(wqkv)     # dxn (over 3hhd)
-        wo8r, swor = _quant_rows_host(wo)     # dattn (over D)
+        qc = _quant_cols_host4 if int4_grad else _quant_cols_host
+        qr = _quant_rows_host4 if int4_grad else _quant_rows_host
+        w8, sw = qc(wqkv)       # qkv recompute (over D)
+        w8r, swr = qr(wqkv)     # dxn (over 3hhd)
+        wo8r, swor = qr(wo)     # dattn (over D)
         dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
             functools.partial(_ln_qkvo_bwd_int8_kernel, eps=eps, scale=scale,
                               seq_len=seq_len, heads=heads,
                               head_dim=head_dim, tile=tile,
-                              int8_dw=int8_dw),
+                              int8_dw=int8_dw, int4_grad=int4_grad),
             grid=(b // tile,),
             in_specs=[
                 pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),

@@ -34,7 +34,8 @@ def fused_ln_qkvo_attention_tp(x, gamma, beta, wq, wk, wv, bq, bk, bv,
                                wo, bo, mesh: Mesh, eps: float, seq_len: int,
                                heads: int, head_dim: int,
                                int8: bool = False, int8_grad: bool = False,
-                               int8_dw: bool = False, int4: bool = False):
+                               int8_dw: bool = False, int4: bool = False,
+                               int4_grad: bool = False):
     """LN1+QKV+attention+out-proj fused kernel, per model-shard.
 
     Weight layouts are the model's npz layouts: wq/wk/wv [D,H,Hd] (heads
@@ -55,7 +56,7 @@ def fused_ln_qkvo_attention_tp(x, gamma, beta, wq, wk, wv, bq, bk, bv,
         out = pk.fused_ln_qkvo_attention(
             x, g, be, wqkv, bqkv, wo.reshape(-1, d),
             jnp.zeros((d,), jnp.float32), eps, seq_len, h_local, head_dim,
-            int8, int8_grad, int8_dw, int4)
+            int8, int8_grad, int8_dw, int4, int4_grad)
         return jax.lax.psum(out, MODEL_AXIS)
 
     out = jax.shard_map(
