@@ -35,6 +35,9 @@ def main():
     p.add_argument("--int4-attn", action="store_true",
                    help="A4W4 int4 qkv/out-proj forward (square kernel; "
                         "the rect compact kernel stays int8)")
+    p.add_argument("--int4-grad", action="store_true",
+                   help="A4W4 int4 backward dx-path (MLP + attention, "
+                        "square and rect kernels)")
     p.add_argument("--scan", type=str, default="off",
                    choices=["off", "restack", "stacked"],
                    help="off = unrolled loop; restack = scan with per-step "
@@ -71,8 +74,9 @@ def main():
         int8_mlp=a.fused_mlp and (a.int8 or a.int8_grad or a.int8_dw),
         int8_mlp_grad=a.fused_mlp and (a.int8_grad or a.int8_dw),
         int8_dw=a.int8_dw,
-        int4_mlp=a.fused_mlp and a.int4,
+        int4_mlp=a.fused_mlp and (a.int4 or a.int4_grad),
         int4_attn=a.int4_attn,
+        int4_grad=a.fused_mlp and a.int4_grad,
         compact_capacity=a.compact,
         compact_attention=not a.no_compact_attn,
         use_pallas=False)

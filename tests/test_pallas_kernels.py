@@ -701,6 +701,40 @@ def test_ln_qkvo_rect_int8_grads_close_to_square():
         assert err < 0.06 * scale, (name, err, scale)
 
 
+def test_ln_qkvo_rect_int4_grad_within_band():
+    """A4W4 rect backward dx-path (int4_grad): grads within the wide
+    15-level band of the fp square+gather grads — guards broken scales /
+    transposed contractions in the quantizer-switched rect backward."""
+    b, s, cap, d, h, hd = 2, 37, 17, 128, 4, 32
+    x, g, be, wqkv, bqkv, wo, bo, idx = _rect_setup(
+        jax.random.PRNGKey(35), b, s, cap, d, h, hd)
+    spq = (s + 7) // 8 * 8
+    cpq = (cap + 7) // 8 * 8
+    onehot = (idx[:, :, None] == jnp.arange(s)[None, None, :]
+              ).astype(x.dtype)
+
+    def loss_sq(x, wqkv, wo):
+        out = pk.fused_ln_qkvo_attention(
+            _pad_rows(x, spq), g, be, wqkv, bqkv, wo, bo,
+            1e-5, s, h, hd)[:, :s]
+        return jnp.sum(jnp.einsum("bcs,bsd->bcd", onehot, out) ** 2)
+
+    def loss_rect(x, wqkv, wo):
+        xc = jnp.einsum("bcs,bsd->bcd", onehot, x)
+        out = pk.fused_ln_qkvo_attention_rect(
+            _pad_rows(xc, cpq), _pad_rows(x, spq), g, be, wqkv, bqkv,
+            wo, bo, 1e-5, s, h, hd, True, True, True, True,
+            True)[:, :cap]
+        return jnp.sum(out ** 2)
+
+    ga = jax.grad(loss_sq, argnums=(0, 1, 2))(x, wqkv, wo)
+    gb = jax.grad(loss_rect, argnums=(0, 1, 2))(x, wqkv, wo)
+    for name, a, b_ in zip("x wqkv wo".split(), ga, gb):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(b_ - a)))
+        assert err < 0.5 * scale + 1e-3, (name, err, scale)
+
+
 def test_ln_qkvo_rect_int4_matches_square_int4_gather():
     """A4W4 rect forward == square int4 kernel + gather (per-row int4
     quantization is identical per row), and grads equal the shared

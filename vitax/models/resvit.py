@@ -378,7 +378,9 @@ def _fused_attention_half_rect(x: jnp.ndarray, xc: jnp.ndarray, p: Params,
         p["attention_norm"]["bias"].astype(jnp.float32), wqkv, bqkv,
         wo, bo, cfg.norm_eps, s, cfg.n_heads, cfg.head_dim,
         cfg.int8_attn, cfg.int8_attn_grad, cfg.int8_dw,
-        getattr(cfg, "int4_attn", False))[:, :cap]
+        getattr(cfg, "int4_attn", False),
+        getattr(cfg, "int4_grad", False)
+        and getattr(cfg, "int4_attn", False))[:, :cap]
     return out.astype(dt)
 
 

@@ -2898,7 +2898,9 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
     the backward still follows int8_grad/int8_dw) — same opt-in accuracy
     tier as fused_ln_mlp's int4. int4_grad=True (requires int8_grad)
     drops the backward's qkv recompute + dattn/dxn projections to A4W4
-    too; dW/dWo stay >=8-bit, the attention-core grads stay bf16."""
+    too; dW/dWo stay >=8-bit, the attention-core grads stay bf16. The
+    rect compact variant (fused_ln_qkvo_attention_rect) carries the same
+    tiers."""
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
@@ -3437,11 +3439,16 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, bq_ref,
                                   dwkv_ref, dbq_ref, dbkv_ref, dwo_ref,
                                   dbo_ref, *,
                                   eps, scale, seq_len, heads, head_dim,
-                                  tile, int8_dw=False):
+                                  tile, int8_dw=False, int4_grad=False):
     """int8 rect backward: W8A8 recompute + dL/dx-path projections (dattn,
     dxn_q, dxn_k), bf16 core grads, optional Jetfire-style int8 dW with the
     same row-scale folding as the square kernel (the per-row int8 tensors
-    from the dx-path matmuls are reused as dW operands)."""
+    from the dx-path matmuls are reused as dW operands). int4_grad=True
+    (caller passes int4 weight forms) drops the recompute + dx-path to
+    A4W4; dW stays >=8-bit via direct per-column int8 packs (folding is
+    int8-only), core grads stay bf16 — same contract as the square
+    kernel."""
+    _qr = _quant_rows4 if int4_grad else _quant_rows
     i = pl.program_id(0)
     cpq = xc_ref.shape[1]
     spq = x_ref.shape[1]
@@ -3458,8 +3465,8 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, bq_ref,
                                .astype(jnp.float32), eps)
     xn_k32 = xhat_k * g32 + be32
 
-    xq_c, _sxc = _quant_rows(xn_q32)
-    xq_k, _sxk = _quant_rows(xn_k32)
+    xq_c, _sxc = _qr(xn_q32)
+    xq_k, _sxk = _qr(xn_k32)
     q = (jax.lax.dot_general(xq_c, wq8_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32
                              ).astype(jnp.float32) * _sxc * swq_ref[:]
@@ -3474,12 +3481,18 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, bq_ref,
                                           head_dim, scale, seq_len, col,
                                           tile, heads, q.dtype)
 
-    doq, sdo = _quant_rows(do_y.astype(jnp.float32))
+    doq, sdo = _qr(do_y.astype(jnp.float32))
     dattn32 = jax.lax.dot_general(doq, wo8r_ref[:], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32
                                   ).astype(jnp.float32) * sdo * swor_ref[:]
     dattn = dattn32.astype(q.dtype)
-    if int8_dw:
+    if int8_dw and int4_grad:
+        attnq, sat = _quant_cols(attn.astype(jnp.float32))
+        doqc, sdoc = _quant_cols(do_y.astype(jnp.float32))
+        dwo_part = jax.lax.dot_general(
+            attnq, doqc, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sat[0][:, None] * sdoc[0][None, :]
+    elif int8_dw:
         attnq, sat = _quant_cols(attn.astype(jnp.float32) * sdo)
         dwo_part = jax.lax.dot_general(
             attnq, doq, _AT_B, preferred_element_type=jnp.int32
@@ -3492,11 +3505,11 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, bq_ref,
     dq, dkv = _rect_core_grads(q, kv, ps, outs, dattn, ths, cpq, spq, hhd,
                                head_dim, scale, tile, heads, q.dtype)
 
-    dqq, sdq = _quant_rows(dq.astype(jnp.float32))
+    dqq, sdq = _qr(dq.astype(jnp.float32))
     dxn_q = jax.lax.dot_general(dqq, wq8r_ref[:], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.int32
                                 ).astype(jnp.float32) * sdq * swqr_ref[:]
-    dkvq, sdkv = _quant_rows(dkv.astype(jnp.float32))
+    dkvq, sdkv = _qr(dkv.astype(jnp.float32))
     dxn_k = jax.lax.dot_general(dkvq, wkv8r_ref[:], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.int32
                                 ).astype(jnp.float32) * sdkv * swkvr_ref[:]
@@ -3515,7 +3528,18 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, bq_ref,
     dg_part = jnp.sum(dxn_q * xhat_q, axis=0) + jnp.sum(dxn_k * xhat_k,
                                                         axis=0)
     dbe_part = jnp.sum(dxn_q, axis=0) + jnp.sum(dxn_k, axis=0)
-    if int8_dw:
+    if int8_dw and int4_grad:
+        xnq_c, sxn_c = _quant_cols(xn_q32)
+        dqqc, sdqc = _quant_cols(dq.astype(jnp.float32))
+        dwq_part = jax.lax.dot_general(
+            xnq_c, dqqc, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sxn_c[0][:, None] * sdqc[0][None, :]
+        xnq_k, sxn_k = _quant_cols(xn_k32)
+        dkvqc, sdkvc = _quant_cols(dkv.astype(jnp.float32))
+        dwkv_part = jax.lax.dot_general(
+            xnq_k, dkvqc, _AT_B, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sxn_k[0][:, None] * sdkvc[0][None, :]
+    elif int8_dw:
         # row-scale folding (square-kernel scheme): reuse dqq/dkvq as the
         # dW operands, folding their row scales into xn before its per-
         # column quantization
@@ -3561,15 +3585,17 @@ def _ln_qkvo_rect_bwd_int8_kernel(xc_ref, x_ref, g_ref, be_ref, bq_ref,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
 def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
                                  eps, seq_len, heads, head_dim, int8=False,
-                                 int8_grad=False, int8_dw=False, int4=False):
+                                 int8_grad=False, int8_dw=False, int4=False,
+                                 int4_grad=False):
     """Rect attention half for token compaction: Q / core rows / out-proj
     on the compacted rows xc [B, CPQ, D] (pad rows zero-filled), K/V on the
     full rows x [B, SPQ, D]. Returns the attention-half output for the
     COMPACTED rows [B, CPQ, D], WITHOUT residual. Same int8/int4 tiers as
-    fused_ln_qkvo_attention; bit-exact vs square-then-gather."""
+    fused_ln_qkvo_attention (incl. int4_grad's A4W4 backward dx-path);
+    bit-exact vs square-then-gather."""
     scale = 1.0 / math.sqrt(head_dim)
     b, cpq, d = xc.shape
     spq = x.shape[1]
@@ -3632,17 +3658,20 @@ def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
 
 def _fused_ln_qkvo_rect_fwd(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
                             eps, seq_len, heads, head_dim, int8=False,
-                            int8_grad=False, int8_dw=False, int4=False):
+                            int8_grad=False, int8_dw=False, int4=False,
+                            int4_grad=False):
     out = fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo,
                                        bo, eps, seq_len, heads, head_dim,
-                                       int8, int8_grad, int8_dw, int4)
+                                       int8, int8_grad, int8_dw, int4,
+                                       int4_grad)
     return out, (xc, x, gamma, beta, wqkv, bqkv, wo)
 
 
 def _fused_ln_qkvo_rect_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
-                            int8_dw, int4, res, do):
-    # int4 applies to the forward projections only; the backward follows
-    # the int8_grad/int8_dw tiers (same contract as the square kernel).
+                            int8_dw, int4, int4_grad, res, do):
+    # int4 applies to the forward projections; int4_grad additionally
+    # drops the backward recompute + dx-path to A4W4 (same contract as
+    # the square kernel — dW >=8-bit, core grads bf16).
     xc, x, gamma, beta, wqkv, bqkv, wo = res
     scale = 1.0 / math.sqrt(head_dim)
     b, cpq, d = xc.shape
@@ -3674,16 +3703,18 @@ def _fused_ln_qkvo_rect_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
     out_specs = (blk(cpq), blk(spq), vec(d), vec(d), wqspec, wkvspec,
                  vec(hhd), vec(2 * hhd), wospec, vec(d))
     if int8 and int8_grad:
-        wq8, swq = _quant_cols_host(wq)
-        wkv8, swkv = _quant_cols_host(wkv)
-        wq8r, swqr = _quant_rows_host(wq)
-        wkv8r, swkvr = _quant_rows_host(wkv)
-        wo8r, swor = _quant_rows_host(wo)
+        qc = _quant_cols_host4 if int4_grad else _quant_cols_host
+        qr = _quant_rows_host4 if int4_grad else _quant_rows_host
+        wq8, swq = qc(wq)
+        wkv8, swkv = qc(wkv)
+        wq8r, swqr = qr(wq)
+        wkv8r, swkvr = qr(wkv)
+        wo8r, swor = qr(wo)
         outs = pl.pallas_call(
             functools.partial(_ln_qkvo_rect_bwd_int8_kernel, eps=eps,
                               scale=scale, seq_len=seq_len, heads=heads,
                               head_dim=head_dim, tile=tile,
-                              int8_dw=int8_dw),
+                              int8_dw=int8_dw, int4_grad=int4_grad),
             grid=(b // tile,),
             in_specs=[
                 blk(cpq), blk(spq), vec(d), vec(d), vec(hhd), vec(2 * hhd),
