@@ -252,3 +252,42 @@ def test_tp_int4_matches_single_device_int4():
                     jax.tree.leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=8e-2, atol=4e-3)
+
+
+def test_tp_int4_grad_matches_single_device():
+    """--int4-grad rides the same shard_map plumbing: TP-2 full-int4
+    (fwd + bwd dx-path) must match single-device full-int4 within the
+    int4 rounding-grid band (per-shard dynamic quantization changes the
+    15-level grids on row-split operands, in the backward too)."""
+    cfg = ViTConfig(**BASE, int8_mlp=True, int8_attn=True,
+                    int8_mlp_grad=True, int8_attn_grad=True, int8_dw=True,
+                    int4_mlp=True, int4_attn=True, int4_grad=True)
+    key = jax.random.PRNGKey(7)
+    images = jax.random.normal(key, (8, 32, 32, 3))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (8,), 0, 10)
+
+    state1, tx1 = _setup(cfg)
+    step1 = make_train_step(cfg, tx1, donate=False)
+    state1, m1 = step1(state1, images, labels)
+
+    m = pmesh.make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    state2, tx2 = _setup(cfg)
+    with m:
+        pshard = pmesh.vit_param_shardings(state2.params, m)
+        state2 = state2._replace(
+            params=jax.device_put(state2.params, pshard),
+            opt_state=jax.device_put(
+                state2.opt_state,
+                pmesh.opt_state_shardings(state2.opt_state, state2.params,
+                                          pshard, m)))
+        step2 = make_train_step(cfg, tx2, donate=False, mesh=m)
+        state2, m2 = step2(state2,
+                           jax.device_put(images, pmesh.batch_sharding(m)),
+                           jax.device_put(labels, pmesh.batch_sharding(m)))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=8e-2)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1.5e-1, atol=8e-3)
