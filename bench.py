@@ -152,6 +152,45 @@ def main():
         except Exception as e:
             line["int4_optin"] = {"error": str(e)[:200]}
 
+    # PatchDropout/FLIP token dropping (opt-in `--token-keep 0.5`) on top of
+    # the int8 stack — train-time FLOP reduction, the only lever that moves
+    # the step's matmul floor (PERF.md). Eval and logit parity are
+    # full-sequence and unaffected; training semantics change (each step
+    # trains on a random half of the patch tokens — the FLIP recipe,
+    # arXiv:2212.00794), so it is a labeled OPT-IN line, not the primary.
+    if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
+        try:
+            td_value, _, td_batch = _try_ladder(
+                [(768, dict(**fused, **int8_kw, int8_dw=True,
+                            token_keep=0.5)),
+                 (192, dict(**fused, **int8_kw, int8_dw=True,
+                            token_keep=0.5))], steps, warmup)
+            line["token_drop_optin"] = {
+                "value": round(td_value, 2),
+                "vs_baseline": round(td_value / BASELINE_IMG_PER_SEC, 4),
+                "batch": td_batch,
+                "token_keep": 0.5,
+            }
+        except Exception as e:
+            line["token_drop_optin"] = {"error": str(e)[:200]}
+
+    # The two opt-in levers stacked (int4 tiers + token drop) — the fastest
+    # measured configuration; compounds both accuracy caveats.
+    if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
+        try:
+            td4_value, _, td4_batch = _try_ladder(
+                [(384, dict(**fused, **int8_kw, int8_dw=True,
+                            int4_mlp=True, int4_attn=True, int4_grad=True,
+                            token_keep=0.5))], steps, warmup)
+            line["int4_token_drop_optin"] = {
+                "value": round(td4_value, 2),
+                "vs_baseline": round(td4_value / BASELINE_IMG_PER_SEC, 4),
+                "batch": td4_batch,
+                "token_keep": 0.5,
+            }
+        except Exception as e:
+            line["int4_token_drop_optin"] = {"error": str(e)[:200]}
+
     print(json.dumps(line))
     return value
 

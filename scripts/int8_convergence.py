@@ -80,6 +80,12 @@ CONFIGS = {
     "int4-grad": dict(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
                       int8_attn_grad=True, int8_dw=True, int4_mlp=True,
                       int4_attn=True, int4_grad=True),
+    # PatchDropout/FLIP token dropping on top of the int8 stack (the eval
+    # above is already full-sequence — the FLIP protocol)
+    "tokdrop-0.5": dict(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
+                        int8_attn_grad=True, int8_dw=True, token_keep=0.5),
+    "tokdrop-0.75": dict(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
+                         int8_attn_grad=True, int8_dw=True, token_keep=0.75),
 }
 
 # default pair preserves the original harness; pass tags to compare others,

@@ -32,6 +32,8 @@ def main():
                     help="A4W4 int4 qkv/out-projection forward too")
     ap.add_argument("--int4-grad", action="store_true",
                     help="A4W4 int4 backward dx-path in the fused MLP too")
+    ap.add_argument("--token-keep", type=float, default=1.0,
+                    help="PatchDropout/FLIP token-drop keep ratio (train)")
     args = ap.parse_args()
 
     from vitax.core.config import arch_config
@@ -47,7 +49,8 @@ def main():
                   int4_mlp=args.int4 or args.int4_grad,
                   int4_attn=args.int4_attn, int4_grad=args.int4_grad)
     cfg = arch_config("b16", image_size=224, num_classes=100,
-                      dtype=jnp.bfloat16, use_pallas=False, **kw)
+                      dtype=jnp.bfloat16, use_pallas=False,
+                      token_keep=args.token_keep, **kw)
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     total_steps = 15000
     tx = sgd_momentum(
@@ -73,6 +76,7 @@ def main():
         "ms_per_step": round(dt / args.steps * 1e3, 2),
         "loss": round(loss, 4),
         "batch": args.batch,
+        "token_keep": args.token_keep,
         "env": {k: v for k, v in os.environ.items()
                 if k.startswith("VITAX_")},
     }), flush=True)

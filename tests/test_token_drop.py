@@ -1,0 +1,182 @@
+"""PatchDropout/FLIP-style train-time token dropping (`ViTConfig.token_keep`).
+
+The lever is opt-in and accuracy-affecting (it changes the training FLOP
+count — the only axis left that moves the throughput floor, PERF.md). These
+tests pin the semantics: exact no-op at keep=1.0, cls always kept, kept
+patch tokens are an order-preserving uniform subset, dropped tokens get
+zero gradient, eval is always full-sequence, and the CLI plumbs the flag.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitax.core.config import ViTConfig
+from vitax.models import vit
+
+TINY = ViTConfig(image_size=(32, 32), patch_size=(8, 8), emb_dim=64,
+                 mlp_dim=128, num_heads=4, num_layers=2, num_classes=10,
+                 dropout_rate=0.0, dtype=jnp.float32, use_pallas=False)
+
+
+def _params():
+    return vit.init_params(jax.random.PRNGKey(0), TINY)
+
+
+def test_keep_one_is_bitwise_noop():
+    params = _params()
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    base = vit.apply(params, images, TINY, train=True,
+                     rng=jax.random.PRNGKey(2))
+    kept = vit.apply(params, images, TINY.replace(token_keep=1.0), train=True,
+                     rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(kept))
+
+
+def test_drop_tokens_subset_semantics():
+    b, n, d = 3, 16, 8
+    x = jnp.arange(b * (n + 1) * d, dtype=jnp.float32).reshape(b, n + 1, d)
+    out = vit.drop_tokens(x, jax.random.PRNGKey(0), 0.5)
+    k = round(0.5 * n)
+    assert out.shape == (b, 1 + k, d)
+    for i in range(b):
+        # cls row preserved
+        np.testing.assert_array_equal(np.asarray(out[i, 0]), np.asarray(x[i, 0]))
+        # every kept row is one of the original patch rows, in original order
+        # (rows of x are distinct by construction)
+        orig = np.asarray(x[i]).tolist()
+        positions = [orig.index(r) for r in np.asarray(out[i, 1:]).tolist()]
+        assert all(p >= 1 for p in positions)
+        assert positions == sorted(positions)
+        assert len(set(positions)) == k
+
+
+def test_drop_tokens_uniform_over_steps():
+    # different rngs pick different subsets (w.h.p.)
+    x = jnp.arange(1 * 17 * 4, dtype=jnp.float32).reshape(1, 17, 4)
+    a = vit.drop_tokens(x, jax.random.PRNGKey(0), 0.5)
+    b = vit.drop_tokens(x, jax.random.PRNGKey(1), 0.5)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dropped_tokens_get_zero_grad():
+    params = _params()
+    cfg = TINY.replace(token_keep=0.5)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    labels = jnp.asarray([1, 2])
+    rng = jax.random.PRNGKey(7)
+
+    def loss_fn(p):
+        logits = vit.apply(p, images, cfg, train=True, rng=rng)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    g = jax.grad(loss_fn)(params)["pos_embedding"][0]  # [n+1, d]
+    row_norm = np.asarray(jnp.linalg.norm(g.astype(jnp.float32), axis=-1))
+    # cls row always trained; with B=2 and keep 8/16, between 8 and 16 patch
+    # rows saw a gradient; the rest are exactly zero (gather backward)
+    assert row_norm[0] > 0
+    nonzero = int((row_norm[1:] > 0).sum())
+    assert 8 <= nonzero <= 16
+    assert np.all(row_norm[1:][row_norm[1:] <= 0] == 0.0)
+
+
+def test_eval_is_full_sequence():
+    params = _params()
+    cfg = TINY.replace(token_keep=0.25)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    base = vit.apply(params, images, TINY, train=False)
+    dropped_cfg_eval = vit.apply(params, images, cfg, train=False)
+    np.testing.assert_array_equal(np.asarray(base),
+                                  np.asarray(dropped_cfg_eval))
+
+
+def test_train_step_runs_and_learns():
+    from vitax.train import (create_train_state, make_train_step, onecycle_lr,
+                             onecycle_momentum, sgd_momentum)
+    cfg = TINY.replace(token_keep=0.5)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    tx = sgd_momentum(onecycle_lr(0.05, 100, 0.1),
+                      momentum_schedule=onecycle_momentum(100, 0.1))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, donate=False)
+    key = jax.random.PRNGKey(3)
+    images = jax.random.normal(key, (8, 32, 32, 3))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (8,), 0, 10)
+    losses = []
+    for _ in range(20):
+        state, metrics = step(state, images, labels)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # memorizing 8 images with half the tokens still learns
+    assert losses[-1] < losses[0]
+
+
+def test_requires_rng():
+    params = _params()
+    cfg = TINY.replace(token_keep=0.5)
+    images = jnp.zeros((1, 32, 32, 3))
+    try:
+        vit.apply(params, images, cfg, train=True, rng=None)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_data_parallel_matches_single_device():
+    """Token dropping under the 8-device DP mesh == single device: the
+    per-image drop indices derive from the replicated step rng, so the
+    sharded gather must not change the math."""
+    from vitax.parallel import mesh as pmesh
+    from vitax.train import (create_train_state, make_train_step, onecycle_lr,
+                             onecycle_momentum, sgd_momentum)
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must fake 8 devices"
+    cfg = TINY.replace(token_keep=0.5)
+    key = jax.random.PRNGKey(5)
+    images = jax.random.normal(key, (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (16,), 0, 10)
+
+    def setup():
+        params = vit.init_params(jax.random.PRNGKey(0), cfg)
+        tx = sgd_momentum(onecycle_lr(0.01, 100, 0.1),
+                          momentum_schedule=onecycle_momentum(100, 0.1))
+        return create_train_state(params, tx, jax.random.PRNGKey(1)), tx
+
+    state1, tx1 = setup()
+    step1 = make_train_step(cfg, tx1, donate=False)
+    for _ in range(2):
+        state1, _ = step1(state1, images, labels)
+
+    m = pmesh.make_mesh(n_data=8, n_model=1, devices=devices[:8])
+    state8, tx8 = setup()
+    with m:
+        pshard = pmesh.vit_param_shardings(state8.params, m)
+        state8 = state8._replace(
+            params=jax.device_put(state8.params, pshard),
+            opt_state=jax.device_put(
+                state8.opt_state,
+                pmesh.opt_state_shardings(state8.opt_state, state8.params,
+                                          pshard, m)))
+        step8 = make_train_step(cfg, tx8, donate=False)
+        imgs = jax.device_put(images, pmesh.batch_sharding(m))
+        lbls = jax.device_put(labels, pmesh.batch_sharding(m))
+        for _ in range(2):
+            state8, _ = step8(state8, imgs, lbls)
+
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_cli_plumbs_token_keep(tmp_path):
+    from vitax import cli
+    from vitax.train_cli import model_config_from_cli
+    config = cli.get_train_config(
+        ["--dataset", "Synthetic", "--exp-root", str(tmp_path),
+         "--token-keep", "0.5"])
+    assert model_config_from_cli(config).token_keep == 0.5
+    config = cli.get_train_config(
+        ["--dataset", "Synthetic", "--exp-root", str(tmp_path)])
+    assert model_config_from_cli(config).token_keep == 1.0

@@ -83,6 +83,12 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
                    help="Jetfire per-block int8 dW matmuls in the MLP and "
                         "attention backwards (implies --int8-grad; deepest "
                         "tier)")
+    p.add_argument("--token-keep", type=float, default=1.0,
+                   help="PatchDropout/FLIP train-time token dropping: keep "
+                        "this fraction of patch tokens (cls always kept) "
+                        "per image per step; eval runs the full sequence. "
+                        "1.0 = off. Accuracy-affecting fine-tune lever "
+                        "(arXiv:2212.00794) — see PERF.md before using")
     p.add_argument("--save-acts", action="store_true",
                    help="persist GELU activations/derivative in the fused "
                         "MLP forward (int8-quantized under --int8-grad) so "

@@ -82,6 +82,14 @@ class ViTConfig:
     # gradient tier — 4-bit gradients are where quantized training
     # diverges; see PERF.md for the convergence evidence before using.
     int4_grad: bool = False
+    # PatchDropout/FLIP-style train-time token dropping: each train step
+    # keeps the cls token plus a fresh random round(token_keep*num_patches)
+    # subset of patch tokens per image; eval always runs the full sequence.
+    # The whole encoder then runs at the reduced sequence length (attention
+    # FLOPs scale ~keep², MLP ~keep) through the same kernels. 1.0 = off
+    # (exact reference semantics). Accuracy-affecting fine-tune lever
+    # (arXiv:2208.07220, arXiv:2212.00794) — opt-in; evidence in PERF.md.
+    token_keep: float = 1.0
 
     @property
     def grid(self) -> Tuple[int, int]:

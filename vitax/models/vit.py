@@ -325,6 +325,29 @@ def embed(params: Params, images: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     return tokens
 
 
+def drop_tokens(x: jnp.ndarray, rng: jax.Array, keep_ratio: float) -> jnp.ndarray:
+    """PatchDropout/FLIP-style token dropping (train only).
+
+    Keeps token 0 (cls) plus a fresh uniform-random round(keep_ratio·n)
+    subset of the n patch tokens per image, in their original order, and
+    returns the gathered [B, 1+k, D] sequence. The encoder then runs at the
+    reduced length — attention FLOPs scale ~keep², MLP ~keep — through the
+    unchanged kernels. One gather per step (its backward is one scatter-add
+    into [B, n+1, D]); dropped tokens receive zero gradient, exactly the
+    PatchDropout formulation (arXiv:2208.07220; FLIP, arXiv:2212.00794).
+    """
+    b, s, d = x.shape
+    n = s - 1
+    k = max(1, min(n, int(round(keep_ratio * n))))
+    if k >= n:
+        return x
+    noise = jax.random.uniform(rng, (b, n))
+    idx = jnp.argsort(noise, axis=1)[:, :k]     # uniform k-subset per image
+    idx = jnp.sort(idx, axis=1) + 1             # original order; +1 skips cls
+    idx = jnp.concatenate([jnp.zeros((b, 1), idx.dtype), idx], axis=1)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
 def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
           train: bool = False, rng: Optional[jax.Array] = None,
           mesh=None) -> jnp.ndarray:
@@ -333,6 +356,11 @@ def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
     run per-shard via shard_map (no weight all-gather)."""
     deterministic = not train or cfg.dropout_rate <= 0.0
     x = embed(params, images, cfg)
+    if train and cfg.token_keep < 1.0:
+        if rng is None:
+            raise ValueError("token_keep < 1.0 requires an rng in training")
+        rng, tok_rng = jax.random.split(rng)
+        x = drop_tokens(x, tok_rng, cfg.token_keep)
     if not deterministic and rng is not None:
         rng, pos_rng = jax.random.split(rng)
         x = _dropout(x, cfg.dropout_rate, pos_rng, deterministic)

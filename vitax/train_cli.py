@@ -150,6 +150,7 @@ def model_config_from_cli(config):
                        int8_dw=int8_dw, int4_mlp=int4, int4_attn=int4_attn,
                        int4_grad=int4_grad,
                        fused_mlp_save=getattr(config, "save_acts", False),
+                       token_keep=getattr(config, "token_keep", 1.0),
                        use_pallas=False if config.no_pallas else None)
 
 
