@@ -161,7 +161,7 @@ def main():
     if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
         try:
             td_value, _, td_batch = _try_ladder(
-                [(768, dict(**fused, **int8_kw, int8_dw=True,
+                [(512, dict(**fused, **int8_kw, int8_dw=True,
                             token_keep=0.5)),
                  (192, dict(**fused, **int8_kw, int8_dw=True,
                             token_keep=0.5))], steps, warmup)

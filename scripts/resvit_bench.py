@@ -43,6 +43,8 @@ def main():
                    help="off = unrolled loop; restack = scan with per-step "
                         "param stacking; stacked = scan with pre-stacked "
                         "params")
+    p.add_argument("--token-keep", type=float, default=1.0,
+                   help="PatchDropout/FLIP train-time token dropping")
     p.add_argument("--compact", type=float, default=None,
                    help="compact_capacity: student-MLP token compaction")
     p.add_argument("--no-compact-attn", action="store_true",
@@ -79,6 +81,7 @@ def main():
         int4_grad=a.fused_mlp and a.int4_grad,
         compact_capacity=a.compact,
         compact_attention=not a.no_compact_attn,
+        token_keep=a.token_keep,
         use_pallas=False)
     print(f"backend={jax.default_backend()} batch={a.batch} remat={remat} "
           f"fused={not a.no_fused} fused_mlp={a.fused_mlp} "

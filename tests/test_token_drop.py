@@ -180,3 +180,122 @@ def test_cli_plumbs_token_keep(tmp_path):
     config = cli.get_train_config(
         ["--dataset", "Synthetic", "--exp-root", str(tmp_path)])
     assert model_config_from_cli(config).token_keep == 1.0
+
+
+# ---- res-vit (`ResViTConfig.token_keep`): teacher AND student run at the
+# ---- reduced sequence; cls is kept so per-layer cls distill is unaffected.
+
+import dataclasses
+
+from vitax.core.config import ResViTConfig
+from vitax.models import resvit
+
+RV = ResViTConfig(dim=48, mlp_dim=96, n_layers=3, n_heads=4, n_kv_heads=4,
+                  lora_rank=4, dynamic_start_layer=1, dynamic_router_hdim=32,
+                  dynamic_reserve_initials=1, low_rank_dim=8, block_size=1,
+                  use_lora=True, use_reslr=True, image_size=(32, 32),
+                  patch_size=(8, 8), num_classes=7, dropout=0.0,
+                  dtype=jnp.float32, param_dtype=jnp.float32,
+                  use_pallas=False)
+
+
+def _rv_params():
+    return resvit.init_params(jax.random.PRNGKey(0), RV)
+
+
+def test_resvit_keep_one_is_bitwise_noop():
+    params = _rv_params()
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    base, _ = resvit.apply(params, images, RV, train=True,
+                           rng=jax.random.PRNGKey(2))
+    kept, _ = resvit.apply(params, images,
+                           dataclasses.replace(RV, token_keep=1.0),
+                           train=True, rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(kept))
+
+
+def test_resvit_drop_reduces_sequence_for_both_paths():
+    params = _rv_params()
+    cfg = dataclasses.replace(RV, token_keep=0.5)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    logits, aux = resvit.apply(params, images, cfg, train=True,
+                               rng=jax.random.PRNGKey(2))
+    n_patches = RV.num_patches           # 16
+    k = round(0.5 * n_patches)
+    assert logits.shape == (2, 7)
+    # acts are emitted per kept token — the routed (student) path saw the
+    # reduced sequence; the distill loss came from the reduced teacher too
+    assert aux["acts"].shape[1] == 1 + k
+    assert np.isfinite(float(aux["d_loss"]))
+
+
+def test_resvit_eval_is_full_sequence():
+    params = _rv_params()
+    cfg = dataclasses.replace(RV, token_keep=0.25)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    base, _ = resvit.apply(params, images, RV, train=False)
+    dropped, _ = resvit.apply(params, images, cfg, train=False)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(dropped))
+
+
+def test_resvit_scan_form_matches_loop_with_drop():
+    params = _rv_params()
+    cfg = dataclasses.replace(RV, token_keep=0.5)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(2)
+    loop_logits, loop_aux = resvit.apply(params, images, cfg, train=True,
+                                         rng=rng)
+    scan_logits, scan_aux = resvit.apply(params, images, cfg, train=True,
+                                         rng=rng, scan_layers=True)
+    np.testing.assert_allclose(np.asarray(loop_logits),
+                               np.asarray(scan_logits), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(loop_aux["d_loss"]),
+                               float(scan_aux["d_loss"]), rtol=1e-6)
+
+
+def test_resvit_train_step_runs_and_learns_with_drop():
+    from vitax.train.resvit_steps import (Lambdas, create_state,
+                                          make_adamw_for, make_train_step)
+    cfg = dataclasses.replace(RV, token_keep=0.5)
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_adamw_for(cfg, params, lambda _: 1e-3)
+    state = create_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, Lambdas(1.0, 10.0, 1.0), donate=False)
+    key = jax.random.PRNGKey(3)
+    images = jax.random.normal(key, (8, 32, 32, 3))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (8,), 0, 7)
+    losses = []
+    for _ in range(15):
+        state, metrics = step(state, images, labels)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_resvit_drop_stacks_with_compaction():
+    # capacity applies to the KEPT tokens: cap = ceil(C * (1+k)); the step
+    # must compile and produce finite losses with both levers active
+    from vitax.train.resvit_steps import (Lambdas, create_state,
+                                          make_adamw_for, make_train_step)
+    cfg = dataclasses.replace(RV, token_keep=0.5, compact_capacity=0.75)
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_adamw_for(cfg, params, lambda _: 1e-3)
+    state = create_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, Lambdas(1.0, 10.0, 1.0), donate=False)
+    key = jax.random.PRNGKey(3)
+    images = jax.random.normal(key, (4, 32, 32, 3))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (4,), 0, 7)
+    for _ in range(3):
+        state, metrics = step(state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_resvit_cli_plumbs_token_keep(tmp_path):
+    from vitax.resvit_train_cli import config_to_model_args, get_train_config
+    cfg = get_train_config(["--dataset", "Synthetic",
+                            "--exp-root", str(tmp_path),
+                            "--token-keep", "0.5"])
+    assert config_to_model_args(cfg).token_keep == 0.5
+    cfg = get_train_config(["--dataset", "Synthetic",
+                            "--exp-root", str(tmp_path)])
+    assert config_to_model_args(cfg).token_keep == 1.0

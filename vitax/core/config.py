@@ -197,6 +197,13 @@ class ResViTConfig:
     # when per-layer actives overflow (distill loss explodes —
     # scripts/compact_convergence.py, PERF.md); demotion is the fix.
     compact_demote_overflow: bool = True
+    # PatchDropout/FLIP-style train-time token dropping, same semantics as
+    # ViTConfig.token_keep: each train step keeps cls + a fresh random
+    # round(token_keep·num_patches) patch-token subset per image; teacher
+    # AND student run at the reduced sequence (the per-layer cls distill
+    # loss is unaffected — cls is always kept). Eval is full-sequence.
+    # Stacks with compact_capacity (capacity applies to the kept tokens).
+    token_keep: float = 1.0
 
     @property
     def grid(self) -> Tuple[int, int]:

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from vitax.core.config import ResViTConfig
+from vitax.models.vit import drop_tokens
 from vitax.models.resvit_utils import lra_path_ids, path_id_weights
 from vitax.ops import layer_norm, patchify_matmul
 from vitax.ops.attention import multi_head_attention
@@ -788,6 +789,11 @@ def _apply_scan(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     L = cfg.n_layers
 
     x = embed(params, images, cfg)
+    if train and cfg.token_keep < 1.0:
+        if rng is None:
+            raise ValueError("token_keep < 1.0 requires an rng in training")
+        rng, tok_rng = jax.random.split(rng)
+        x = drop_tokens(x, tok_rng, cfg.token_keep)
     b, n, _ = x.shape
     layers = params["layers"]
     stacked = isinstance(layers, dict)
@@ -900,6 +906,14 @@ def _apply_loop(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     blk = block_fn(cfg, mesh)
 
     x = embed(params, images, cfg)
+    if train and cfg.token_keep < 1.0:
+        # PatchDropout/FLIP token dropping (vit.drop_tokens semantics):
+        # teacher AND student run at the reduced sequence; cls is always
+        # kept so the per-layer cls distill loss is unaffected.
+        if rng is None:
+            raise ValueError("token_keep < 1.0 requires an rng in training")
+        rng, tok_rng = jax.random.split(rng)
+        x = drop_tokens(x, tok_rng, cfg.token_keep)
     student = x
     teacher = x
     b, n, _ = x.shape

@@ -133,6 +133,12 @@ def get_train_config(argv=None):
                         "scripts/compact_convergence.py). Warmup lets the "
                         "router leave that init before capacity applies; "
                         "see PERF.md for the measured convergence story")
+    p.add_argument("--token-keep", type=float, default=1.0,
+                   help="PatchDropout/FLIP train-time token dropping: keep "
+                        "cls + a fresh random round(r*num_patches) patch "
+                        "subset per image per step (teacher AND student run "
+                        "at the reduced sequence; eval is full-sequence). "
+                        "Accuracy-affecting opt-in — see PERF.md")
     p.add_argument("--compact-capacity", type=float, default=None,
                    help="train-time token compaction: the student FFN on "
                         "routed layers runs only on the top-ceil(C*N) "
@@ -218,6 +224,7 @@ def config_to_model_args(c) -> "resvit_arch_config":
         int4_mlp=int4, int4_attn=int4_attn, int4_grad=int4_grad,
         fused_mlp_save=getattr(c, "save_acts", False),
         compact_capacity=getattr(c, "compact_capacity", None),
+        token_keep=getattr(c, "token_keep", 1.0),
         compact_demote_overflow=(getattr(c, "compact_overflow", "demote")
                                  != "identity"),
         use_pallas=False if c.no_pallas else None)
