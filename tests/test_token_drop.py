@@ -299,3 +299,51 @@ def test_resvit_cli_plumbs_token_keep(tmp_path):
     cfg = get_train_config(["--dataset", "Synthetic",
                             "--exp-root", str(tmp_path)])
     assert config_to_model_args(cfg).token_keep == 1.0
+
+
+# ---- round-4 hardening (ADVICE r3): range validation + reserve pinning
+
+
+def test_token_keep_out_of_range_raises():
+    import pytest
+    from vitax.core.config import ResViTConfig
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="token_keep"):
+            TINY.replace(token_keep=bad)
+        with pytest.raises(ValueError, match="token_keep"):
+            dataclasses.replace(RV, token_keep=bad)
+    # boundary 1.0 stays valid (= off)
+    TINY.replace(token_keep=1.0)
+    dataclasses.replace(RV, token_keep=1.0)
+
+
+def test_drop_tokens_pins_reserved_initials():
+    # n_pinned > 1: the first n_pinned sequence positions are always kept
+    # (res-vit passes dynamic_reserve_initials so the router's forced slots
+    # land on fixed physical tokens every step)
+    b, s, d = 2, 17, 4
+    x = jnp.arange(b * s * d, dtype=jnp.float32).reshape(b, s, d)
+    for pin in (1, 2, 3):
+        out = vit.drop_tokens(x, jax.random.PRNGKey(0), 0.5, n_pinned=pin)
+        k = round(0.5 * (s - pin))
+        assert out.shape == (b, pin + k, d)
+        np.testing.assert_array_equal(np.asarray(out[:, :pin]),
+                                      np.asarray(x[:, :pin]))
+        # sampled rows come from past the pinned prefix, in order
+        for i in range(b):
+            orig = np.asarray(x[i]).tolist()
+            pos = [orig.index(r) for r in np.asarray(out[i, pin:]).tolist()]
+            assert all(p >= pin for p in pos)
+            assert pos == sorted(pos)
+
+
+def test_resvit_drop_keeps_reserved_tokens_fixed():
+    # with dynamic_reserve_initials=2 the reserved slot beyond cls must be
+    # the SAME physical token every step (position 1), not a random patch
+    cfg = dataclasses.replace(RV, token_keep=0.5, dynamic_reserve_initials=2)
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    x = resvit.embed(params, images, cfg)
+    kept = vit.drop_tokens(x, jax.random.PRNGKey(2), 0.5,
+                           n_pinned=cfg.dynamic_reserve_initials)
+    np.testing.assert_array_equal(np.asarray(kept[:, :2]), np.asarray(x[:, :2]))

@@ -91,6 +91,13 @@ class ViTConfig:
     # (arXiv:2208.07220, arXiv:2212.00794) — opt-in; evidence in PERF.md.
     token_keep: float = 1.0
 
+    def __post_init__(self):
+        if not (0.0 < self.token_keep <= 1.0):
+            raise ValueError(
+                f"token_keep must be in (0, 1], got {self.token_keep!r} — "
+                "values <= 0 would train on cls + a single patch token and "
+                "values > 1 would silently no-op")
+
     @property
     def grid(self) -> Tuple[int, int]:
         return (self.image_size[0] // self.patch_size[0],
@@ -204,6 +211,13 @@ class ResViTConfig:
     # loss is unaffected — cls is always kept). Eval is full-sequence.
     # Stacks with compact_capacity (capacity applies to the kept tokens).
     token_keep: float = 1.0
+
+    def __post_init__(self):
+        if not (0.0 < self.token_keep <= 1.0):
+            raise ValueError(
+                f"token_keep must be in (0, 1], got {self.token_keep!r} — "
+                "values <= 0 would train on cls + a single patch token and "
+                "values > 1 would silently no-op")
 
     @property
     def grid(self) -> Tuple[int, int]:

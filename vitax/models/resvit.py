@@ -793,7 +793,8 @@ def _apply_scan(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
         if rng is None:
             raise ValueError("token_keep < 1.0 requires an rng in training")
         rng, tok_rng = jax.random.split(rng)
-        x = drop_tokens(x, tok_rng, cfg.token_keep)
+        x = drop_tokens(x, tok_rng, cfg.token_keep,
+                        n_pinned=max(1, cfg.dynamic_reserve_initials))
     b, n, _ = x.shape
     layers = params["layers"]
     stacked = isinstance(layers, dict)
@@ -908,12 +909,16 @@ def _apply_loop(params: Params, images: jnp.ndarray, cfg: ResViTConfig, *,
     x = embed(params, images, cfg)
     if train and cfg.token_keep < 1.0:
         # PatchDropout/FLIP token dropping (vit.drop_tokens semantics):
-        # teacher AND student run at the reduced sequence; cls is always
-        # kept so the per-layer cls distill loss is unaffected.
+        # teacher AND student run at the reduced sequence; cls — and the
+        # first dynamic_reserve_initials positions with it — are always
+        # kept, so the per-layer cls distill loss is unaffected and the
+        # router's reserved/forced slots keep landing on the same physical
+        # tokens the reference semantics assume.
         if rng is None:
             raise ValueError("token_keep < 1.0 requires an rng in training")
         rng, tok_rng = jax.random.split(rng)
-        x = drop_tokens(x, tok_rng, cfg.token_keep)
+        x = drop_tokens(x, tok_rng, cfg.token_keep,
+                        n_pinned=max(1, cfg.dynamic_reserve_initials))
     student = x
     teacher = x
     b, n, _ = x.shape

@@ -325,26 +325,38 @@ def embed(params: Params, images: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     return tokens
 
 
-def drop_tokens(x: jnp.ndarray, rng: jax.Array, keep_ratio: float) -> jnp.ndarray:
+def drop_tokens(x: jnp.ndarray, rng: jax.Array, keep_ratio: float,
+                n_pinned: int = 1) -> jnp.ndarray:
     """PatchDropout/FLIP-style token dropping (train only).
 
-    Keeps token 0 (cls) plus a fresh uniform-random round(keep_ratio·n)
-    subset of the n patch tokens per image, in their original order, and
-    returns the gathered [B, 1+k, D] sequence. The encoder then runs at the
-    reduced length — attention FLOPs scale ~keep², MLP ~keep — through the
+    Keeps the first `n_pinned` tokens (cls by default) plus a fresh
+    uniform-random round(keep_ratio·n) subset of the remaining n tokens per
+    image, in their original order, and returns the gathered
+    [B, n_pinned+k, D] sequence. The encoder then runs at the reduced
+    length — attention FLOPs scale ~keep², MLP ~keep — through the
     unchanged kernels. One gather per step (its backward is one scatter-add
-    into [B, n+1, D]); dropped tokens receive zero gradient, exactly the
-    PatchDropout formulation (arXiv:2208.07220; FLIP, arXiv:2212.00794).
+    into the full sequence); dropped tokens receive zero gradient, exactly
+    the PatchDropout formulation (arXiv:2208.07220; FLIP, arXiv:2212.00794).
+
+    `n_pinned > 1` pins extra leading positions the way cls is pinned —
+    res-vit uses it so `dynamic_reserve_initials` slots keep landing on the
+    same physical tokens the reference's reserve/entropy/active-loss
+    semantics assume (see router_forward).
     """
     b, s, d = x.shape
-    n = s - 1
+    n_pinned = max(1, min(n_pinned, s))
+    n = s - n_pinned
+    if n <= 0:
+        return x
     k = max(1, min(n, int(round(keep_ratio * n))))
     if k >= n:
         return x
     noise = jax.random.uniform(rng, (b, n))
     idx = jnp.argsort(noise, axis=1)[:, :k]     # uniform k-subset per image
-    idx = jnp.sort(idx, axis=1) + 1             # original order; +1 skips cls
-    idx = jnp.concatenate([jnp.zeros((b, 1), idx.dtype), idx], axis=1)
+    idx = jnp.sort(idx, axis=1) + n_pinned      # original order, past pins
+    pins = jnp.broadcast_to(jnp.arange(n_pinned, dtype=idx.dtype)[None],
+                            (b, n_pinned))
+    idx = jnp.concatenate([pins, idx], axis=1)
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
