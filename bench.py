@@ -21,6 +21,9 @@ import json
 import time
 
 import jax
+
+from vitax.core.cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 2000.0

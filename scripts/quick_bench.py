@@ -14,6 +14,9 @@ import os
 import time
 
 import jax
+
+from vitax.core.cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 
 

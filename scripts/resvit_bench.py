@@ -17,6 +17,9 @@ import time
 import traceback
 
 import jax
+
+from vitax.core.cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 
 

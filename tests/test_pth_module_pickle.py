@@ -1,0 +1,106 @@
+"""Whole-module `torch.save(model)` ingestion (VERDICT r3 Missing #3).
+
+The reference's ONLY res-vit save format pickles the entire nn.Module
+object graph (res-vit/utils.py:149-155, `torch.save(model, ...)`), not a
+state_dict. vitax's stub unpicklers reconstruct that graph as walkable stub
+instances and `module_state_dict` recovers the flat state_dict without
+torch — these tests build real fixtures with the installed torch + the
+actual reference model class and assert exact tensor recovery, in both the
+zip and legacy sequential-pickle containers, plus the end-to-end
+`resvit_params_from_torch_state_dict` conversion.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DIR, requires_reference
+from vitax.checkpointing.pth import (load_pth, load_state_dict_pth,
+                                     module_state_dict)
+
+torch = pytest.importorskip("torch")
+
+
+def _reference_model():
+    sys.path.insert(0, f"{REFERENCE_DIR}/res-vit")
+    try:
+        from model import ModelArgs, Transformer
+    finally:
+        sys.path.pop(0)
+    args = ModelArgs(dim=64, mlp_dim=128, n_layers=4, n_heads=4,
+                     n_kv_heads=4, lora_rank=4, dynamic_start_layer=0,
+                     block_size=2, dynamic_router_hdim=32, low_rank_dim=16,
+                     use_lora=True, use_reslr=True, image_size=(32, 32),
+                     patch_size=(8, 8), num_classes=7, device="cpu")
+    torch.manual_seed(0)
+    return Transformer(args), args
+
+
+@requires_reference
+def test_whole_module_zip_roundtrip(tmp_path):
+    model, _ = _reference_model()
+    path = str(tmp_path / "best_model.pth")
+    torch.save(model, path)
+
+    ref = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    sd = load_state_dict_pth(path)
+    assert set(sd) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(sd[k]), ref[k], err_msg=k)
+
+
+@requires_reference
+def test_whole_module_legacy_container(tmp_path):
+    model, _ = _reference_model()
+    path = str(tmp_path / "legacy_model.pth")
+    torch.save(model, path, _use_new_zipfile_serialization=False)
+
+    ref = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    sd = load_state_dict_pth(path)
+    assert set(sd) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(sd[k]), ref[k], err_msg=k)
+
+
+@requires_reference
+def test_module_graph_walker_on_loaded_object(tmp_path):
+    # load_pth returns the stub graph; module_state_dict walks it
+    model, _ = _reference_model()
+    path = str(tmp_path / "m.pth")
+    torch.save(model, path)
+    obj = load_pth(path)
+    assert not isinstance(obj, dict)
+    sd = module_state_dict(obj)
+    assert len(sd) == len(model.state_dict())
+
+
+@requires_reference
+def test_whole_module_to_vitax_params(tmp_path):
+    from vitax.checkpointing.resvit_convert import \
+        resvit_params_from_torch_state_dict
+    from vitax.core.config import ResViTConfig
+
+    model, args = _reference_model()
+    path = str(tmp_path / "m.pth")
+    torch.save(model, path)
+    sd = {k: np.asarray(v) for k, v in load_state_dict_pth(path).items()}
+    cfg = ResViTConfig(dim=64, mlp_dim=128, n_layers=4, n_heads=4,
+                       n_kv_heads=4, lora_rank=4, dynamic_start_layer=0,
+                       block_size=2, dynamic_router_hdim=32, low_rank_dim=16,
+                       use_lora=True, use_reslr=True, image_size=(32, 32),
+                       patch_size=(8, 8), num_classes=7)
+    params = resvit_params_from_torch_state_dict(sd, cfg)
+    # spot-check one tensor survives layout conversion: cls token
+    np.testing.assert_allclose(
+        np.asarray(params["cls_token"]).reshape(-1),
+        model.state_dict()["cls_token"].detach().numpy().reshape(-1))
+
+
+def test_plain_state_dict_still_loads(tmp_path):
+    # regression: the stub-class redesign must not break state_dict files
+    path = str(tmp_path / "sd.pth")
+    torch.save({"state_dict": {"w": torch.arange(6.0).reshape(2, 3)}}, path)
+    sd = load_state_dict_pth(path)
+    np.testing.assert_array_equal(np.asarray(sd["w"]),
+                                  np.arange(6.0).reshape(2, 3))

@@ -31,7 +31,9 @@ def load_reference_vit(reference_dir: str):
     return mod
 
 
+from vitax.core.cache import enable_compilation_cache
 def main(argv=None):
+    enable_compilation_cache()
     p = argparse.ArgumentParser("vitax torch-parity check")
     p.add_argument("--reference-dir", type=str, default="/root/reference")
     p.add_argument("--model-arch", type=str, default="b16",

@@ -74,17 +74,52 @@ class _StorageRef:
 
 
 class _TorchGlobalStub:
-    """Placeholder for any torch.* global referenced by the pickle."""
+    """Placeholder for any unresolvable global referenced by the pickle.
 
-    def __init__(self, module: str, name: str):
-        self.module = module
-        self.name = name
+    `_stub(module, name)` returns a dynamically generated SUBCLASS per
+    (module, name), so the pickle VM's GLOBAL/REDUCE/NEWOBJ opcodes
+    reconstruct real instances whose `__dict__` carries the pickled state.
+    That makes a whole `torch.save(model)` nn.Module graph — the reference's
+    ONLY res-vit save format (res-vit/utils.py:149-155) — walkable:
+    `module_state_dict()` recovers `_parameters`/`_buffers`/`_modules` into
+    a flat state_dict without torch. Plain value globals (torch.float32,
+    devices, …) come back as the inert class object itself."""
 
-    def __call__(self, *args, **kwargs):  # e.g. immortalized dtype objects
-        return self
+    module = "?"
+    name = "?"
+
+    def __new__(cls, *args, **kwargs):
+        inst = object.__new__(cls)
+        inst._stub_args = args
+        return inst
+
+    def __init__(self, *args, **kwargs):
+        pass
 
     def __repr__(self):
-        return f"<torch-global {self.module}.{self.name}>"
+        flavor = "instance" if type(self) is not _TorchGlobalStub else "stub"
+        return f"<torch-global {self.module}.{self.name} {flavor}>"
+
+
+_STUB_CLASSES: Dict[Tuple[str, str], type] = {}
+
+
+def _stub(module: str, name: str) -> type:
+    cls = _STUB_CLASSES.get((module, name))
+    if cls is None:
+        cls = type(f"_Stub_{name}", (_TorchGlobalStub,),
+                   {"module": module, "name": name})
+        _STUB_CLASSES[(module, name)] = cls
+    return cls
+
+
+def _storage_type_name(st) -> str:
+    """Storage type from a persistent id — a stub class (GLOBAL) or str."""
+    if isinstance(st, type) and issubclass(st, _TorchGlobalStub):
+        return st.name
+    if isinstance(st, _TorchGlobalStub):
+        return st.name
+    return str(st)
 
 
 def _rebuild_tensor_v2(storage_and_bytes, storage_offset, size, stride,
@@ -117,8 +152,7 @@ class _PthUnpickler(pickle.Unpickler):
         typename, storage_type, key, _location, numel = pid[0], *pid[1:5]
         if typename != "storage":
             raise pickle.UnpicklingError(f"unknown persistent id {typename!r}")
-        st_name = (storage_type.name if isinstance(storage_type, _TorchGlobalStub)
-                   else str(storage_type))
+        st_name = _storage_type_name(storage_type)
         raw = self._zf.read(f"{self._prefix}data/{key}")
         return (_StorageRef(st_name, key, numel), raw)
 
@@ -128,7 +162,7 @@ class _PthUnpickler(pickle.Unpickler):
         if module == "torch._utils" and name == "_rebuild_parameter":
             return _rebuild_parameter
         if module.startswith("torch"):
-            return _TorchGlobalStub(module, name)
+            return _stub(module, name)
         if module == "collections" and name == "OrderedDict":
             return dict
         if module in ("builtins", "__builtin__"):
@@ -136,7 +170,7 @@ class _PthUnpickler(pickle.Unpickler):
         if module.startswith("numpy"):
             return super().find_class(module, name)
         # anything else (e.g. whole pickled nn.Module graphs): opaque stub
-        return _TorchGlobalStub(module, name)
+        return _stub(module, name)
 
 
 def load_pth(path: str) -> Any:
@@ -224,14 +258,17 @@ class _LegacyUnpickler(pickle.Unpickler):
         self._views = views
 
     def persistent_load(self, pid):
+        if pid[0] == "module":
+            # whole-module saves tag container objects with their source for
+            # torch's source-drift warning; the payload is the module itself
+            # (torch/serialization.py legacy persistent_load 'module' branch)
+            return pid[1]
         if pid[0] != "storage":
             raise pickle.UnpicklingError(
                 f"unsupported legacy persistent id {pid[0]!r}")
         storage_type, root_key, _location, _numel = pid[1:5]
         view_metadata = pid[5] if len(pid) > 5 else None
-        st_name = (storage_type.name
-                   if isinstance(storage_type, _TorchGlobalStub)
-                   else str(storage_type))
+        st_name = _storage_type_name(storage_type)
         if root_key not in self._storages:
             self._storages[root_key] = _LazyStorage(st_name)
         root = self._storages[root_key]
@@ -256,14 +293,14 @@ class _LegacyUnpickler(pickle.Unpickler):
         if module == "torch._utils" and name == "_rebuild_parameter":
             return _rebuild_parameter
         if module.startswith("torch"):
-            return _TorchGlobalStub(module, name)
+            return _stub(module, name)
         if module == "collections" and name == "OrderedDict":
             return dict
         if module in ("builtins", "__builtin__"):
             return super().find_class(module, name)
         if module.startswith("numpy"):
             return super().find_class(module, name)
-        return _TorchGlobalStub(module, name)
+        return _stub(module, name)
 
 
 def _materialize_tree(obj: Any) -> Any:
@@ -275,6 +312,14 @@ def _materialize_tree(obj: Any) -> Any:
         return [_materialize_tree(v) for v in obj]
     if isinstance(obj, tuple):
         return tuple(_materialize_tree(v) for v in obj)
+    if isinstance(obj, _TorchGlobalStub):
+        # whole-module graphs: tensors live inside stub instance __dict__s
+        # (in-place + visited marker: module graphs may share/cycle refs)
+        if "_vitax_materialized" not in obj.__dict__:
+            obj.__dict__["_vitax_materialized"] = True
+            for k, v in list(obj.__dict__.items()):
+                obj.__dict__[k] = _materialize_tree(v)
+        return obj
     return obj
 
 
@@ -318,6 +363,11 @@ def _load_pth_legacy(path: str) -> Any:
         elif isinstance(obj, (list, tuple)):
             for v in obj:
                 resolve_views(v)
+        elif isinstance(obj, _TorchGlobalStub):
+            if "_vitax_views_seen" not in obj.__dict__:
+                obj.__dict__["_vitax_views_seen"] = True
+                for v in list(obj.__dict__.values()):
+                    resolve_views(v)
 
     resolve_views(result)
     return _materialize_tree(result)
@@ -344,10 +394,10 @@ class _TarMemberUnpickler(pickle.Unpickler):
 
     def find_class(self, module, name):
         if module.startswith("torch"):
-            return _TorchGlobalStub(module, name)
+            return _stub(module, name)
         if module in ("builtins", "__builtin__"):
             return super().find_class(module, name)
-        return _TorchGlobalStub(module, name)
+        return _stub(module, name)
 
 
 class _TarRootUnpickler(pickle.Unpickler):
@@ -364,12 +414,12 @@ class _TarRootUnpickler(pickle.Unpickler):
         if module == "torch._utils" and name == "_rebuild_parameter":
             return _rebuild_parameter
         if module.startswith("torch"):
-            return _TorchGlobalStub(module, name)
+            return _stub(module, name)
         if module == "collections" and name == "OrderedDict":
             return dict
         if module in ("builtins", "__builtin__"):
             return super().find_class(module, name)
-        return _TorchGlobalStub(module, name)
+        return _stub(module, name)
 
 
 def _load_pth_tar(path: str) -> Any:
@@ -386,9 +436,7 @@ def _load_pth_tar(path: str) -> Any:
         for _ in range(num):
             key, _location, storage_type = _TarMemberUnpickler(
                 f, encoding="latin1").load()
-            st_name = (storage_type.name
-                       if isinstance(storage_type, _TorchGlobalStub)
-                       else str(storage_type))
+            st_name = _storage_type_name(storage_type)
             itemsize = STORAGE_TO_DTYPE[st_name].itemsize
             (numel,) = struct.unpack("<q", f.read(8))
             storages[int(key)] = (st_name, f.read(numel * itemsize))
@@ -745,11 +793,54 @@ def save_pth(obj: Any, path: str, archive_name: str = "archive") -> None:
         zf.writestr(f"{archive_name}/byteorder", "little")
 
 
+def module_state_dict(obj: Any) -> Dict[str, np.ndarray]:
+    """Recover a state_dict from a whole-module pickle.
+
+    The reference's only res-vit save format is `torch.save(model)` — the
+    entire nn.Module object graph (res-vit/utils.py:149-155). The stub
+    unpicklers reconstruct that graph as `_TorchGlobalStub` instances whose
+    `__dict__` carries torch's module state; this walks
+    `_parameters`/`_buffers`/`_modules` exactly the way
+    `nn.Module.state_dict()` does and returns the flat `name.sub.weight`
+    mapping, tensors already materialized as numpy arrays."""
+    out: Dict[str, np.ndarray] = {}
+    seen: set = set()
+
+    def walk(m, prefix):
+        if id(m) in seen:
+            return
+        seen.add(id(m))
+        d = getattr(m, "__dict__", None)
+        if not isinstance(d, dict):
+            return
+        for k, v in (d.get("_parameters") or {}).items():
+            if isinstance(v, np.ndarray):
+                out[prefix + k] = v
+        for k, v in (d.get("_buffers") or {}).items():
+            if isinstance(v, np.ndarray):
+                out[prefix + k] = v
+        for k, v in (d.get("_modules") or {}).items():
+            if v is not None:
+                walk(v, prefix + k + ".")
+
+    walk(obj, "")
+    return out
+
+
+def _is_module_graph(obj: Any) -> bool:
+    d = getattr(obj, "__dict__", None)
+    return (isinstance(obj, _TorchGlobalStub) and isinstance(d, dict)
+            and ("_modules" in d or "_parameters" in d))
+
+
 def load_state_dict_pth(path: str) -> Dict[str, np.ndarray]:
     """Load a reference-style checkpoint and return its state_dict —
-    handles both raw state_dicts and {'state_dict': ...} wrappers
-    (src/checkpoint.py:13)."""
+    handles raw state_dicts, {'state_dict': ...} wrappers
+    (src/checkpoint.py:13), and whole-module `torch.save(model)` graphs
+    (res-vit/utils.py:149-155 — walked via `module_state_dict`)."""
     obj = load_pth(path)
     if isinstance(obj, dict) and "state_dict" in obj:
         return obj["state_dict"]
+    if _is_module_graph(obj):
+        return module_state_dict(obj)
     return obj

@@ -15,6 +15,7 @@ import time
 import jax
 import jax.numpy as jnp
 
+from vitax.core.cache import enable_compilation_cache
 from vitax import cli
 from vitax.checkpointing import CheckpointStore, load_checkpoint
 from vitax.core.config import arch_config
@@ -25,6 +26,7 @@ from vitax.train_cli import make_weighted_eval_step
 
 
 def main(argv=None):
+    enable_compilation_cache()
     config = cli.get_eval_config(argv)
     cli.print_config(config)
     set_seed(config.seed)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vitax.core.cache import enable_compilation_cache
 from vitax.checkpointing import CheckpointStore, load_state_dict_pth
 from vitax.checkpointing.resvit_convert import resvit_params_from_torch_state_dict
 from vitax.core.config import num_classes_for_dataset
@@ -89,6 +90,7 @@ def get_eval_config(argv=None):
 
 
 def main(argv=None):
+    enable_compilation_cache()
     config = get_eval_config(argv)
     set_seed(config.seed)
     cfg = config_to_model_args(config)

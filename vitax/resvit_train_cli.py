@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vitax.core.cache import enable_compilation_cache
 from vitax.checkpointing import CheckpointStore, load_checkpoint
 from vitax.checkpointing.resvit_convert import resvit_params_from_vit
 from vitax.core.config import (arch_config, num_classes_for_dataset,
@@ -241,6 +242,7 @@ def _structure_report(params) -> dict:
 
 
 def main(argv=None):
+    enable_compilation_cache()
     config = get_train_config(argv)
     print("----- Configuration -----")
     for k, v in sorted(vars(config).items()):

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vitax.core.cache import enable_compilation_cache
 from vitax import cli
 from vitax.checkpointing import CheckpointStore, export_pth, load_checkpoint
 from vitax.core.config import arch_config
@@ -155,6 +156,7 @@ def model_config_from_cli(config):
 
 
 def main(argv=None):
+    enable_compilation_cache()
     config = cli.get_train_config(argv)
     cli.print_config(config)
     root_key = set_seed(config.seed)
