@@ -315,3 +315,35 @@ def test_prestacked_params_match_and_roundtrip():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+@requires_reference
+def test_eval_parity_gqa(ref):
+    """GQA (n_kv_heads < n_heads, repeat_kv — res-vit/model.py:220-223,
+    281-282): logit parity vs the reference. The fused kernels gate this
+    geometry off (see test_fused_gate_rejects_gqa); parity covers the
+    unfused path that actually serves it."""
+    cfg = make_cfg(n_kv_heads=2)
+    ref_logits, *_, logits, aux = _run_pair(ref, cfg, seed=11)
+    np.testing.assert_allclose(logits, ref_logits, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gate_rejects_gqa():
+    """VERDICT r3 #8: n_kv < n must fall back to the unfused attention path
+    — the fused qkvo kernel assumes h_kv == h. The gate is structural
+    (resvit._fused_attention_half returns None), so fused flags plus a GQA
+    geometry silently serve the correct unfused math."""
+    import jax
+    import jax.numpy as jnp
+    cfg = make_cfg(n_kv_heads=2, use_pallas=True)
+    cfg = ResViTConfig(**{**cfg.__dict__, "fused_qkv": True,
+                          "fused_qkvo": True})
+    params = resvit.init_params(jax.random.PRNGKey(0), cfg)
+    lp = params["layers"][0]
+    x = jnp.zeros((2, 5, cfg.dim), jnp.float32)
+    out = resvit._fused_attention_half(x, lp["attention"], cfg, mesh=None)
+    assert out is None
+    # and the full apply still runs (unfused fallback) with fused flags on
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    logits, _ = resvit.apply(params, imgs, cfg, train=False)
+    assert logits.shape == (2, cfg.num_classes)

@@ -347,3 +347,28 @@ def test_resvit_drop_keeps_reserved_tokens_fixed():
     kept = vit.drop_tokens(x, jax.random.PRNGKey(2), 0.5,
                            n_pinned=cfg.dynamic_reserve_initials)
     np.testing.assert_array_equal(np.asarray(kept[:, :2]), np.asarray(x[:, :2]))
+
+
+def test_cli_token_keep_schedule(tmp_path):
+    # schedule switches to the dense step at the epoch boundary and the run
+    # completes end-to-end (4 epochs x small synthetic set, switch at 0.5)
+    from vitax import train_cli
+    best = train_cli.main([
+        "--dataset", "Synthetic", "--model-arch", "tiny",
+        "--image-size", "32", "--batch-size", "8",
+        "--synthetic-samples", "32", "--train-steps", "16",
+        "--token-keep", "0.5", "--token-keep-schedule", "0.5",
+        "--no-pallas", "--exp-root", str(tmp_path)])
+    assert 0.0 <= best <= 1.0
+
+
+def test_cli_token_keep_schedule_validates(tmp_path):
+    import pytest
+    from vitax import train_cli
+    with pytest.raises(ValueError, match="token-keep-schedule"):
+        train_cli.main([
+            "--dataset", "Synthetic", "--model-arch", "tiny",
+            "--image-size", "32", "--batch-size", "8",
+            "--synthetic-samples", "32", "--train-steps", "16",
+            "--token-keep", "0.5", "--token-keep-schedule", "1.5",
+            "--no-pallas", "--exp-root", str(tmp_path)])

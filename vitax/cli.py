@@ -89,6 +89,13 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
                         "per image per step; eval runs the full sequence. "
                         "1.0 = off. Accuracy-affecting fine-tune lever "
                         "(arXiv:2212.00794) — see PERF.md before using")
+    p.add_argument("--token-keep-schedule", type=float, default=None,
+                   metavar="FRAC",
+                   help="train with --token-keep for the first FRAC of "
+                        "epochs, then full-sequence for the rest (the "
+                        "PatchDropout fine-tune recipe: dropped training "
+                        "+ short dense tail, arXiv:2208.07220 §4.4). "
+                        "E.g. --token-keep 0.5 --token-keep-schedule 0.9")
     p.add_argument("--save-acts", action="store_true",
                    help="persist GELU activations/derivative in the fused "
                         "MLP forward (int8-quantized under --int8-grad) so "

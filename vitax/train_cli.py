@@ -231,15 +231,39 @@ def main(argv=None):
     epochs = max(1, config.train_steps // max(1, len(train_loader)))
     print(f"training {epochs} epochs x {len(train_loader)} steps")
 
+    # PatchDropout keep schedule: --token-keep for the first FRAC of epochs,
+    # full-sequence for the rest (dense tail = the PatchDropout fine-tune
+    # recipe, arXiv:2208.07220 §4.4; accuracy evidence in PERF.md). The
+    # switch is at an epoch boundary so each phase is one static-shape
+    # jitted program.
+    sched = getattr(config, "token_keep_schedule", None)
+    dense_from_epoch = epochs  # never
+    if sched is not None and cfg.token_keep < 1.0:
+        if not (0.0 < sched <= 1.0):
+            raise ValueError(f"--token-keep-schedule must be in (0,1], "
+                             f"got {sched}")
+        dense_from_epoch = max(1, int(round(sched * epochs)))
+        print(f"token-keep schedule: keep {cfg.token_keep} for epochs "
+              f"0..{dense_from_epoch - 1}, dense from epoch "
+              f"{dense_from_epoch}")
+
     with m:
         state = _put(state, m)
         train_step = make_train_step(cfg, tx, donate=True,
                                      device_prep=config.device_prep,
                                      mesh=m)
+        dense_step = None
         eval_step = make_weighted_eval_step(cfg,
                                             device_prep=config.device_prep)
         for epoch in range(start_epoch, epochs):
-            state, tr = train_epoch(epoch, state, train_step, train_loader,
+            step_fn = train_step
+            if epoch >= dense_from_epoch:
+                if dense_step is None:
+                    dense_step = make_train_step(
+                        cfg.replace(token_keep=1.0), tx, donate=True,
+                        device_prep=config.device_prep, mesh=m)
+                step_fn = dense_step
+            state, tr = train_epoch(epoch, state, step_fn, train_loader,
                                     m, writer, train_tracker)
             vr = valid_epoch(epoch, state, eval_step, valid_loader, writer,
                              valid_tracker)
