@@ -45,7 +45,7 @@ INTERPRET = os.environ.get("H14_PROBE_INTERPRET") == "1"
 
 def _bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
                 dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dxn_scr, *, eps, residual, n_chunks):
+                dxn_scr, *, eps, residual, n_chunks, mc):
     i = pl.program_id(0)
     j = pl.program_id(1)
     g32 = g_ref[:].astype(jnp.float32)
@@ -60,7 +60,7 @@ def _bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
     xn = (xhat * g32 + be32).astype(x_ref.dtype)
 
     a1 = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) \
-        + b1_ref[:].astype(jnp.float32)
+        + b1_ref[0, 0].astype(jnp.float32)
     dh1f = jax.lax.dot_general(do_ref[:], w2_ref[:], pk._AB_T,
                                preferred_element_type=jnp.float32)
     h1 = pk._gelu_exact(a1).astype(x_ref.dtype)
@@ -73,7 +73,6 @@ def _bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
     dw2_ref[0] = jax.lax.dot_general(
         h1, do_ref[:], pk._AT_B,
         preferred_element_type=jnp.float32).astype(dw2_ref.dtype)
-    db1_ref[0] = jnp.sum(dh1.astype(jnp.float32), axis=0)
 
     contrib = jax.lax.dot_general(dh1, w1_ref[:], pk._AB_T,
                                   preferred_element_type=jnp.float32)
@@ -91,6 +90,11 @@ def _bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
         dg_ref[:] = jnp.zeros_like(dg_ref)
         dbe_ref[:] = jnp.zeros_like(dbe_ref)
         db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    # db1 partial: (8, mc) block (8-sublane tile rule; dynamic lane-offset
+    # scratch stores are Mosaic-rejected) — row 0 carries the sum
+    db1_ref[0] = jnp.pad(
+        jnp.sum(dh1.astype(jnp.float32), axis=0)[None, :], ((0, 7), (0, 0)))
 
     @pl.when(j == 0)
     def _():
@@ -126,12 +130,15 @@ def chunked_mlp_bwd(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
                            memory_space=pltpu.VMEM)
     dx, dg, dbe, dw1p, db1p, dw2p, db2 = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, residual=residual,
-                          n_chunks=n_j),
+                          n_chunks=n_j, mc=mc),
         grid=(n_i, n_j),
         in_specs=[row_blk, vec(d), vec(d),
                   pl.BlockSpec((d, mc), lambda i, j: (0, j),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((mc,), lambda i, j: (j,),
+                  # 1-D lane-offset blocks ((mc,) idx (j,)) are Mosaic-
+                  # rejected on this jaxlib (bisected, grid2d probes) —
+                  # b1 is restaged as (n_j, 8, mc) with row 0 carrying it
+                  pl.BlockSpec((1, 8, mc), lambda i, j: (j, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((mc, d), lambda i, j: (j, 0),
                                memory_space=pltpu.VMEM),
@@ -139,7 +146,7 @@ def chunked_mlp_bwd(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
         out_specs=(row_blk, vec(d), vec(d),
                    pl.BlockSpec((1, d, mc), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, mc), lambda i, j: (i, j),
+                   pl.BlockSpec((1, 8, mc), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM),
@@ -148,15 +155,16 @@ def chunked_mlp_bwd(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
                    jax.ShapeDtypeStruct((d,), jnp.float32),
                    jax.ShapeDtypeStruct((d,), jnp.float32),
                    jax.ShapeDtypeStruct((n_i, d, m), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((n_i, m), jnp.float32),
+                   jax.ShapeDtypeStruct((n_i, 8, m), jnp.float32),
                    jax.ShapeDtypeStruct((n_i, m, d), jnp.bfloat16),
                    jax.ShapeDtypeStruct((d,), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
         interpret=INTERPRET,
         **pk._VMEM_LIMIT,
-    )(x2, gamma, beta, w1, b1, w2, do2)
+    )(x2, gamma, beta, w1,
+      jnp.pad(b1.reshape(n_j, 1, mc), ((0, 0), (0, 7), (0, 0))), w2, do2)
     dw1 = jnp.sum(dw1p.astype(jnp.float32), axis=0)
-    db1 = jnp.sum(db1p, axis=0)
+    db1 = jnp.sum(db1p[:, 0, :], axis=0)
     dw2 = jnp.sum(dw2p.astype(jnp.float32), axis=0)
     return dx, dg, dbe, dw1, db1, dw2, db2
 

@@ -446,16 +446,29 @@ def ln_mlp_supported(x, w1, w2) -> bool:
     m = w1.shape[1]
     if w1.shape[0] != d or w2.shape != (m, d):
         return False
-    # d=1280 (h14) genuinely exceeds the 128 MiB physical VMEM in the MLP
-    # backward (fp32 dW accumulators ≈50 MB + Mosaic register spills,
-    # captured error in PERF.md) — same gate/knob pattern as
-    # qkv_attention_supported so h14 experiments can re-open it.
-    max_d = int(_os.environ.get("VITAX_MLP_MAX_D", "1024"))
+    # The MONOLITHIC backward genuinely exceeds the 128 MiB physical VMEM
+    # at d=1280 (fp32 dW accumulators ≈50 MB + Mosaic register spills,
+    # captured error in PERF.md) — above _MLP_MONO_MAX_D the bf16 path
+    # switches to the chunked-dW backward (bf16 HBM partials), which lifts
+    # the bound; the int8/int4 bwd tiers still carry VMEM accumulators and
+    # stay gated at _MLP_MONO_MAX_D (model code falls back to the bf16
+    # fused path for them).
+    max_d = int(_os.environ.get("VITAX_MLP_MAX_D", "1280"))
     if d > max_d:
         return False
+    if d > _MLP_MONO_MAX_D:
+        # chunked backward: no resident fp32 dW; weights + one chunk pair
+        return d % 128 == 0 and m % 128 == 0 and m % _mc_for(m) == 0
     # weights (bf16) + both fp32 accumulators resident: 12·d·m bytes;
     # keep ≲ 96 MB of the ~128 MB VMEM
     return d % 128 == 0 and m % 128 == 0 and 12 * d * m <= 96 * 1024 * 1024
+
+
+def _mc_for(m: int) -> int:
+    mc = min(int(_os.environ.get("VITAX_MLP_DW_CHUNK", 1280)), m)
+    while m % mc:
+        mc //= 2
+    return max(mc, 128)
 
 
 def _poly(x, coefs):
@@ -1482,6 +1495,149 @@ def _ln_mlp_bwd_call(x2, gamma, beta, w1, b1, w2, do2, eps, residual):
     )(x2, gamma, beta, w1, b1, w2, do2)
 
 
+# -- chunked-dW backward: d > 1024 (h14) -------------------------------------
+#
+# The monolithic backward keeps fp32 dW1/dW2 accumulator blocks resident in
+# VMEM — at d=1280/m=5120 that alone is ~52 MB and the kernel exceeds the
+# 128 MiB physical VMEM (round-3 captured error). This variant runs a 2D
+# grid (row-block i OUTER, hidden-chunk j INNER): per (i, j) it recomputes
+# LN+fc1 for chunk j, emits dW1[:, jc]/dW2[jc, :]/db1[jc] as per-(i,j) bf16
+# PARTIALS straight to HBM (XLA reduces them in fp32), and accumulates dxn
+# over consecutive j in ONE fp32 VMEM scratch; at j==last the LN backward
+# runs. dx and the LN grads stay fp32-exact; dW precision drops to
+# bf16-partials-summed-fp32 (≤1 bf16 ulp, h14_dw_probe). Mosaic notes:
+# 1-D lane-offset input blocks ((mc,) idx (j,)) are rejected on this
+# jaxlib — b1 is restaged as (n_j, 8, mc); db1 partials carry their sum in
+# row 0 of an (8, mc) block for the same 8-sublane tiling rule.
+
+_MLP_MONO_MAX_D = 1024      # largest d the monolithic bwd fits in VMEM
+
+
+def _ln_mlp_bwd_chunked_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                               do_ref, dx_ref, dg_ref, dbe_ref, dw1_ref,
+                               db1_ref, dw2_ref, db2_ref, dxn_scr, *,
+                               eps, residual, n_chunks):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    g32 = g_ref[:].astype(jnp.float32)
+    be32 = be_ref[:].astype(jnp.float32)
+
+    x32 = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    xn = (xhat * g32 + be32).astype(x_ref.dtype)
+
+    a1 = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) \
+        + b1_ref[0, 0].astype(jnp.float32)
+    dh1f = jax.lax.dot_general(do_ref[:], w2_ref[:], _AB_T,
+                               preferred_element_type=jnp.float32)
+    h1 = _gelu_exact(a1).astype(x_ref.dtype)
+    gp = _gelu_grad(a1)
+    dh1 = (dh1f * gp).astype(x_ref.dtype)
+
+    dw1_ref[0] = jax.lax.dot_general(
+        xn, dh1, _AT_B,
+        preferred_element_type=jnp.float32).astype(dw1_ref.dtype)
+    dw2_ref[0] = jax.lax.dot_general(
+        h1, do_ref[:], _AT_B,
+        preferred_element_type=jnp.float32).astype(dw2_ref.dtype)
+    db1_ref[0] = jnp.pad(
+        jnp.sum(dh1.astype(jnp.float32), axis=0)[None, :], ((0, 7), (0, 0)))
+
+    contrib = jax.lax.dot_general(dh1, w1_ref[:], _AB_T,
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        dxn_scr[:] = contrib
+
+    @pl.when(j > 0)
+    def _():
+        dxn_scr[:] += contrib
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        dbe_ref[:] = jnp.zeros_like(dbe_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    @pl.when(j == 0)
+    def _():
+        db2_ref[:] += jnp.sum(do_ref[:].astype(jnp.float32), axis=0)
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        dxn = dxn_scr[:]
+        dyg = dxn * g32
+        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+        dxln = rstd * (dyg - m1 - xhat * m2)
+        if residual:
+            dx_ref[:] = do_ref[:] + dxln.astype(dx_ref.dtype)
+        else:
+            dx_ref[:] = dxln.astype(dx_ref.dtype)
+        dg_ref[:] += jnp.sum(dxn * xhat, axis=0)
+        dbe_ref[:] += jnp.sum(dxn, axis=0)
+
+
+def _ln_mlp_bwd_chunked_call(x2, gamma, beta, w1, b1, w2, do2, eps,
+                             residual):
+    n, d = x2.shape
+    m = w1.shape[1]
+    rows = min(512, n)
+    while n % rows:
+        rows //= 2
+    mc = _mc_for(m)
+    n_i, n_j = n // rows, m // mc
+    vec = lambda k: pl.BlockSpec((k,), lambda i, j: (0,),
+                                 memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    dx, dg, dbe, dw1p, db1p, dw2p, db2 = pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_chunked_kernel, eps=eps,
+                          residual=residual, n_chunks=n_j),
+        grid=(n_i, n_j),
+        in_specs=[row_blk, vec(d), vec(d),
+                  pl.BlockSpec((d, mc), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, mc), lambda i, j: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((mc, d), lambda i, j: (j, 0),
+                               memory_space=pltpu.VMEM),
+                  row_blk],
+        out_specs=(row_blk, vec(d), vec(d),
+                   pl.BlockSpec((1, d, mc), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, mc), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM),
+                   vec(d)),
+        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((n_i, d, m), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((n_i, 8, m), jnp.float32),
+                   jax.ShapeDtypeStruct((n_i, m, d), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((d,), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * d * m, transcendentals=2 * n * m,
+            bytes_accessed=3 * n * d * x2.dtype.itemsize
+            + 2 * n_i * d * m * 2 + 4 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, gamma, beta, w1,
+      jnp.pad(b1.reshape(n_j, 1, mc), ((0, 0), (0, 7), (0, 0))), w2, do2)
+    dw1 = jnp.sum(dw1p.astype(jnp.float32), axis=0)
+    db1 = jnp.sum(db1p[:, 0, :], axis=0)
+    dw2 = jnp.sum(dw2p.astype(jnp.float32), axis=0)
+    return dx, dg, dbe, dw1, db1, dw2, db2
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _ln_mlp_2d(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
     return _ln_mlp_fwd_call(x2, gamma, beta, w1, b1, w2, b2, eps, residual)
@@ -1494,7 +1650,9 @@ def _ln_mlp_2d_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, residual):
 
 def _ln_mlp_2d_bwd(eps, residual, res, do2):
     x2, gamma, beta, w1, b1, w2 = res
-    dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_call(
+    bwd = (_ln_mlp_bwd_chunked_call if x2.shape[1] > _MLP_MONO_MAX_D
+           else _ln_mlp_bwd_call)
+    dx, dg, dbe, dw1, db1, dw2, db2 = bwd(
         x2, gamma, beta, w1, b1, w2, do2, eps, residual)
     return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
@@ -1623,7 +1781,9 @@ def _ln_mlp_2d_int8_bwd(eps, residual, res, do2):
     # gradients of the bf16 function — standard W8A8 practice: the int8
     # forward is a close approximation, grads recompute at full precision
     x2, gamma, beta, w1, b1, w2 = res
-    dx, dg, dbe, dw1, db1, dw2, db2 = _ln_mlp_bwd_call(
+    bwd = (_ln_mlp_bwd_chunked_call if x2.shape[1] > _MLP_MONO_MAX_D
+           else _ln_mlp_bwd_call)
+    dx, dg, dbe, dw1, db1, dw2, db2 = bwd(
         x2, gamma, beta, w1, b1, w2, do2, eps, residual)
     return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
@@ -1966,6 +2126,11 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
     >=8-bit (int8 per-column when int8_dw, else bf16)."""
     lead = x.shape[:-1]
     d = x.shape[-1]
+    if d > _MLP_MONO_MAX_D:
+        # the int8/int4 BACKWARD tiers carry monolithic VMEM dW
+        # accumulators that do not fit above d=1024 — demote to the int8
+        # forward (its backward routes through the chunked-dW kernel)
+        int8_grad = int8_dw = int4 = int4_grad = save_acts = False
     x2 = x.reshape(-1, d)
     n = x2.shape[0]
     npad = _ln_mlp_pad(n, int8=int4 or (int8 and int8_grad))
