@@ -125,7 +125,9 @@ def main():
     if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
         try:
             drop_value, _, drop_batch = _try_ladder(
-                [(512, dict(**fused, **int8_kw, int8_dw=True,
+                [(768, dict(**fused, **int8_kw, int8_dw=True,
+                            token_keep=0.5)),
+                 (512, dict(**fused, **int8_kw, int8_dw=True,
                             token_keep=0.5)),
                  (192, dict(**fused, **int8_kw, int8_dw=True,
                             token_keep=0.5))], steps, warmup)
