@@ -119,7 +119,8 @@ def main():
                   "batch": dense_batch}
 
     # drop phase of the schedule: keep 0.5 through the same kernels; halved
-    # activation memory flips the batch curve (PERF.md) — b512 measured best
+    # activation memory flips the batch curve (PERF.md round-4 sweep:
+    # b768 2560 / b640 2557 / b512 2522 — b768 best)
     DENSE_TAIL = 0.1
     drop_info = None
     if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
@@ -137,17 +138,28 @@ def main():
             drop_info = {"error": str(e)[:200]}
 
     if drop_info and "value" in drop_info:
-        # amortized over the recipe: 90% of steps at the drop rate, 10%
-        # dense tail (time-weighted harmonic mean)
-        value = 1.0 / ((1.0 - DENSE_TAIL) / drop_info["value"]
-                       + DENSE_TAIL / dense_value)
+        # amortized over the recipe exactly as the emitted train_cli
+        # invocation runs it: 90% of OPTIMIZER STEPS at the drop phase's
+        # batch/rate, the final 10% of steps at the dense batch/rate
+        # (PatchDropout's tail is a step/epoch fraction, §4.4) —
+        # total images / total time over those steps
+        f = 1.0 - DENSE_TAIL
+        bd, bs = drop_info["batch"], dense_info["batch"]
+        value = ((f * bd + DENSE_TAIL * bs)
+                 / (f * bd / drop_info["value"]
+                    + DENSE_TAIL * bs / dense_value))
         primary_cfg = {
-            "recipe": "token_keep 0.5 for 90% of steps + dense final 10% "
-                      "(--token-keep 0.5 --token-keep-schedule 0.9)",
+            # runnable as ONE train_cli invocation: the dropped phase runs
+            # the larger batch (halved activation memory — FLIP recipe)
+            # and the dense tail returns to its own batch
+            "recipe": (f"--token-keep 0.5 --token-keep-schedule 0.9 "
+                       f"--batch-size {drop_info['batch']} "
+                       f"--dense-batch-size {dense_info['batch']}"),
             "phases": {"drop": drop_info, "dense": dense_info},
             "fused_qkv": cfg.fused_qkv, "fused_mlp": cfg.fused_mlp,
             "remat": cfg.remat, "int8": True, "int8_grad": True,
-            "int8_dw": cfg.int8_dw,
+            # the drop ladder only measures int8_dw configs
+            "int8_dw": True,
         }
     else:
         value = dense_value

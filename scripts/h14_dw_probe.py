@@ -43,130 +43,16 @@ enable_compilation_cache()
 INTERPRET = os.environ.get("H14_PROBE_INTERPRET") == "1"
 
 
-def _bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, do_ref,
-                dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dxn_scr, *, eps, residual, n_chunks, mc):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    g32 = g_ref[:].astype(jnp.float32)
-    be32 = be_ref[:].astype(jnp.float32)
-
-    x32 = x_ref[:].astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    xc = x32 - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = xc * rstd
-    xn = (xhat * g32 + be32).astype(x_ref.dtype)
-
-    a1 = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) \
-        + b1_ref[0, 0].astype(jnp.float32)
-    dh1f = jax.lax.dot_general(do_ref[:], w2_ref[:], pk._AB_T,
-                               preferred_element_type=jnp.float32)
-    h1 = pk._gelu_exact(a1).astype(x_ref.dtype)
-    gp = pk._gelu_grad(a1)
-    dh1 = (dh1f * gp).astype(x_ref.dtype)
-
-    dw1_ref[0] = jax.lax.dot_general(
-        xn, dh1, pk._AT_B,
-        preferred_element_type=jnp.float32).astype(dw1_ref.dtype)
-    dw2_ref[0] = jax.lax.dot_general(
-        h1, do_ref[:], pk._AT_B,
-        preferred_element_type=jnp.float32).astype(dw2_ref.dtype)
-
-    contrib = jax.lax.dot_general(dh1, w1_ref[:], pk._AB_T,
-                                  preferred_element_type=jnp.float32)
-
-    @pl.when(j == 0)
-    def _():
-        dxn_scr[:] = contrib
-
-    @pl.when(j > 0)
-    def _():
-        dxn_scr[:] += contrib
-
-    @pl.when(jnp.logical_and(i == 0, j == 0))
-    def _():
-        dg_ref[:] = jnp.zeros_like(dg_ref)
-        dbe_ref[:] = jnp.zeros_like(dbe_ref)
-        db2_ref[:] = jnp.zeros_like(db2_ref)
-
-    # db1 partial: (8, mc) block (8-sublane tile rule; dynamic lane-offset
-    # scratch stores are Mosaic-rejected) — row 0 carries the sum
-    db1_ref[0] = jnp.pad(
-        jnp.sum(dh1.astype(jnp.float32), axis=0)[None, :], ((0, 7), (0, 0)))
-
-    @pl.when(j == 0)
-    def _():
-        db2_ref[:] += jnp.sum(do_ref[:].astype(jnp.float32), axis=0)
-
-    @pl.when(j == n_chunks - 1)
-    def _():
-        dxn = dxn_scr[:]
-        dyg = dxn * g32
-        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
-        m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
-        dxln = rstd * (dyg - m1 - xhat * m2)
-        if residual:
-            dx_ref[:] = do_ref[:] + dxln.astype(dx_ref.dtype)
-        else:
-            dx_ref[:] = dxln.astype(dx_ref.dtype)
-        dg_ref[:] += jnp.sum(dxn * xhat, axis=0)
-        dbe_ref[:] += jnp.sum(dxn, axis=0)
-
-
 def chunked_mlp_bwd(x2, gamma, beta, w1, b1, w2, do2, eps, residual,
                     rows=512, mc=1280):
-    n, d = x2.shape
-    m = w1.shape[1]
-    rows = min(rows, n)
-    while n % rows:
-        rows //= 2
-    mc = min(mc, m)
-    n_i, n_j = n // rows, m // mc
-    vec = lambda k: pl.BlockSpec((k,), lambda i, j: (0,),
-                                 memory_space=pltpu.VMEM)
-    row_blk = pl.BlockSpec((rows, d), lambda i, j: (i, 0),
-                           memory_space=pltpu.VMEM)
-    dx, dg, dbe, dw1p, db1p, dw2p, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps, residual=residual,
-                          n_chunks=n_j, mc=mc),
-        grid=(n_i, n_j),
-        in_specs=[row_blk, vec(d), vec(d),
-                  pl.BlockSpec((d, mc), lambda i, j: (0, j),
-                               memory_space=pltpu.VMEM),
-                  # 1-D lane-offset blocks ((mc,) idx (j,)) are Mosaic-
-                  # rejected on this jaxlib (bisected, grid2d probes) —
-                  # b1 is restaged as (n_j, 8, mc) with row 0 carrying it
-                  pl.BlockSpec((1, 8, mc), lambda i, j: (j, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((mc, d), lambda i, j: (j, 0),
-                               memory_space=pltpu.VMEM),
-                  row_blk],
-        out_specs=(row_blk, vec(d), vec(d),
-                   pl.BlockSpec((1, d, mc), lambda i, j: (i, 0, j),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 8, mc), lambda i, j: (i, 0, j),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
-                                memory_space=pltpu.VMEM),
-                   vec(d)),
-        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
-                   jax.ShapeDtypeStruct((d,), jnp.float32),
-                   jax.ShapeDtypeStruct((d,), jnp.float32),
-                   jax.ShapeDtypeStruct((n_i, d, m), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((n_i, 8, m), jnp.float32),
-                   jax.ShapeDtypeStruct((n_i, m, d), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((d,), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
-        interpret=INTERPRET,
-        **pk._VMEM_LIMIT,
-    )(x2, gamma, beta, w1,
-      jnp.pad(b1.reshape(n_j, 1, mc), ((0, 0), (0, 7), (0, 0))), w2, do2)
-    dw1 = jnp.sum(dw1p.astype(jnp.float32), axis=0)
-    db1 = jnp.sum(db1p[:, 0, :], axis=0)
-    dw2 = jnp.sum(dw2p.astype(jnp.float32), axis=0)
-    return dx, dg, dbe, dw1, db1, dw2, db2
+    """Measured path = the SHIPPED kernel (pallas_kernels
+    _ln_mlp_bwd_chunked_call) — the probe validated the prototype, then
+    the kernel was productionized; keeping one copy avoids stale math.
+    rows/mc map to the shipped knobs (VITAX_MLP_DW_CHUNK)."""
+    os.environ["VITAX_MLP_DW_CHUNK"] = str(mc)
+    pk._INTERPRET = INTERPRET
+    return pk._ln_mlp_bwd_chunked_call(x2, gamma, beta, w1, b1, w2, do2,
+                                       eps, residual)
 
 
 def _ref_bwd(x2, gamma, beta, w1, b1, w2, do2, eps, residual):

@@ -372,3 +372,41 @@ def test_cli_token_keep_schedule_validates(tmp_path):
             "--synthetic-samples", "32", "--train-steps", "16",
             "--token-keep", "0.5", "--token-keep-schedule", "1.5",
             "--no-pallas", "--exp-root", str(tmp_path)])
+
+
+def test_cli_schedule_rejects_missing_token_keep(tmp_path):
+    import pytest
+    from vitax import train_cli
+    with pytest.raises(ValueError, match="requires --token-keep"):
+        train_cli.main([
+            "--dataset", "Synthetic", "--model-arch", "tiny",
+            "--image-size", "32", "--batch-size", "8",
+            "--synthetic-samples", "32", "--train-steps", "16",
+            "--token-keep-schedule", "0.9",
+            "--no-pallas", "--exp-root", str(tmp_path)])
+
+
+def test_cli_schedule_rejects_single_epoch(tmp_path):
+    import pytest
+    from vitax import train_cli
+    with pytest.raises(ValueError, match="epochs"):
+        train_cli.main([
+            "--dataset", "Synthetic", "--model-arch", "tiny",
+            "--image-size", "32", "--batch-size", "8",
+            "--synthetic-samples", "32", "--train-steps", "4",
+            "--token-keep", "0.5", "--token-keep-schedule", "0.9",
+            "--no-pallas", "--exp-root", str(tmp_path)])
+
+
+def test_cli_schedule_dense_batch_size(tmp_path):
+    # per-phase batches (the FLIP recipe): dropped phase at --batch-size,
+    # dense tail at --dense-batch-size — run completes end-to-end
+    from vitax import train_cli
+    best = train_cli.main([
+        "--dataset", "Synthetic", "--model-arch", "tiny",
+        "--image-size", "32", "--batch-size", "16",
+        "--synthetic-samples", "64", "--train-steps", "16",
+        "--token-keep", "0.5", "--token-keep-schedule", "0.5",
+        "--dense-batch-size", "8",
+        "--no-pallas", "--exp-root", str(tmp_path)])
+    assert 0.0 <= best <= 1.0

@@ -96,6 +96,12 @@ def _add_common(p: argparse.ArgumentParser, train: bool) -> None:
                         "PatchDropout fine-tune recipe: dropped training "
                         "+ short dense tail, arXiv:2208.07220 §4.4). "
                         "E.g. --token-keep 0.5 --token-keep-schedule 0.9")
+    p.add_argument("--dense-batch-size", type=int, default=None,
+                   help="batch size for the dense tail of "
+                        "--token-keep-schedule (token dropping halves "
+                        "activation memory, so the dropped phase can run "
+                        "a larger --batch-size — the FLIP recipe, "
+                        "arXiv:2212.00794); default = --batch-size")
     p.add_argument("--save-acts", action="store_true",
                    help="persist GELU activations/derivative in the fused "
                         "MLP forward (int8-quantized under --int8-grad) so "

@@ -2127,9 +2127,12 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
     lead = x.shape[:-1]
     d = x.shape[-1]
     if d > _MLP_MONO_MAX_D:
-        # the int8/int4 BACKWARD tiers carry monolithic VMEM dW
-        # accumulators that do not fit above d=1024 — demote to the int8
-        # forward (its backward routes through the chunked-dW kernel)
+        # the int8/int4 BACKWARD tiers (and save-acts) carry monolithic
+        # VMEM accumulators/buffers that do not fit above d=1024 — demote
+        # to the deepest tier that does: the int8 FORWARD (its backward
+        # routes through the chunked-dW kernel). An int4-only request
+        # demotes to int8 forward too, not to plain bf16.
+        int8 = int8 or int4
         int8_grad = int8_dw = int4 = int4_grad = save_acts = False
     x2 = x.reshape(-1, d)
     n = x2.shape[0]

@@ -238,11 +238,23 @@ def main(argv=None):
     # jitted program.
     sched = getattr(config, "token_keep_schedule", None)
     dense_from_epoch = epochs  # never
-    if sched is not None and cfg.token_keep < 1.0:
+    if sched is not None:
         if not (0.0 < sched <= 1.0):
             raise ValueError(f"--token-keep-schedule must be in (0,1], "
                              f"got {sched}")
-        dense_from_epoch = max(1, int(round(sched * epochs)))
+        if cfg.token_keep >= 1.0:
+            raise ValueError(
+                "--token-keep-schedule requires --token-keep < 1.0 "
+                "(the schedule switches FROM the dropped phase TO dense)")
+        if epochs < 2:
+            raise ValueError(
+                f"--token-keep-schedule needs >= 2 epochs to fit both "
+                f"phases; this run has {epochs} "
+                f"(train_steps // len(train_loader)) — raise --train-steps "
+                f"or drop the schedule flag")
+        # clamp so the dense tail always gets at least one epoch
+        dense_from_epoch = min(max(1, int(round(sched * epochs))),
+                               epochs - 1)
         print(f"token-keep schedule: keep {cfg.token_keep} for epochs "
               f"0..{dense_from_epoch - 1}, dense from epoch "
               f"{dense_from_epoch}")
@@ -253,17 +265,28 @@ def main(argv=None):
                                      device_prep=config.device_prep,
                                      mesh=m)
         dense_step = None
+        dense_loader = None
         eval_step = make_weighted_eval_step(cfg,
                                             device_prep=config.device_prep)
         for epoch in range(start_epoch, epochs):
-            step_fn = train_step
+            step_fn, loader = train_step, train_loader
             if epoch >= dense_from_epoch:
                 if dense_step is None:
                     dense_step = make_train_step(
                         cfg.replace(token_keep=1.0), tx, donate=True,
                         device_prep=config.device_prep, mesh=m)
+                    # FLIP recipe: the dropped phase runs a larger batch
+                    # (halved activation memory); the dense tail returns
+                    # to its own batch size (arXiv:2212.00794 §3)
+                    dense_bs = getattr(config, "dense_batch_size", None)
+                    if dense_bs and dense_bs != config.batch_size:
+                        dense_loader = get_dataloader(
+                            config.dataset, split="train",
+                            **{**common, "batch_size": dense_bs})
+                        print(f"dense tail batch size: {dense_bs}")
                 step_fn = dense_step
-            state, tr = train_epoch(epoch, state, step_fn, train_loader,
+                loader = dense_loader or train_loader
+            state, tr = train_epoch(epoch, state, step_fn, loader,
                                     m, writer, train_tracker)
             vr = valid_epoch(epoch, state, eval_step, valid_loader, writer,
                              valid_tracker)
