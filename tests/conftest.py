@@ -32,3 +32,22 @@ def reference_available() -> bool:
 
 requires_reference = pytest.mark.skipif(
     not reference_available(), reason="PyTorch reference repo not mounted")
+
+
+# Heavyweight modules (interpret-mode kernel sweeps, subprocess spawns,
+# full training loops) get the `slow` marker so a quick pass exists:
+#   python -m pytest tests/ -m "not slow"   (~3-4 min)
+# vs the full suite (~17 min on this CPU).
+_SLOW_MODULES = {
+    "test_pallas_kernels", "test_tp_fused_kernels", "test_resvit_parallel",
+    "test_multihost", "test_token_drop", "test_trainer_equivalence",
+    "test_resvit_compact", "test_parity_resvit", "test_fused_qkv_attention",
+    "test_cifar_e2e",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
