@@ -410,3 +410,25 @@ def test_cli_schedule_dense_batch_size(tmp_path):
         "--dense-batch-size", "8",
         "--no-pallas", "--exp-root", str(tmp_path)])
     assert 0.0 <= best <= 1.0
+
+
+def test_resvit_cli_token_keep_schedule(tmp_path):
+    from vitax import resvit_train_cli
+    resvit_train_cli.main([
+        "--dataset", "Synthetic", "--model-arch", "tiny",
+        "--image-size", "32", "--batch-size", "8",
+        "--synthetic-samples", "32", "--train-steps", "16",
+        "--token-keep", "0.5", "--token-keep-schedule", "0.5",
+        "--no-pallas", "--exp-root", str(tmp_path)])
+
+
+def test_resvit_cli_schedule_validates(tmp_path):
+    import pytest
+    from vitax import resvit_train_cli
+    with pytest.raises(ValueError, match="requires --token-keep"):
+        resvit_train_cli.main([
+            "--dataset", "Synthetic", "--model-arch", "tiny",
+            "--image-size", "32", "--batch-size", "8",
+            "--synthetic-samples", "32", "--train-steps", "16",
+            "--token-keep-schedule", "0.5",
+            "--no-pallas", "--exp-root", str(tmp_path)])

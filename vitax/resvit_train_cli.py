@@ -140,6 +140,12 @@ def get_train_config(argv=None):
                         "subset per image per step (teacher AND student run "
                         "at the reduced sequence; eval is full-sequence). "
                         "Accuracy-affecting opt-in — see PERF.md")
+    p.add_argument("--token-keep-schedule", type=float, default=None,
+                   metavar="FRAC",
+                   help="train with --token-keep for the first FRAC of "
+                        "epochs, then full-sequence for the rest (the "
+                        "PatchDropout fine-tune recipe — same semantics "
+                        "as the ViT trainer's flag)")
     p.add_argument("--compact-capacity", type=float, default=None,
                    help="train-time token compaction: the student FFN on "
                         "routed layers runs only on the top-ceil(C*N) "
@@ -317,6 +323,33 @@ def main(argv=None):
                       active=config.initial_lambda_active,
                       distill=config.initial_lambda_distill)
     train_step = make_train_step(cfg, tx, lambdas, donate=True)
+
+    # PatchDropout keep schedule (same semantics as train_cli): --token-keep
+    # for the first FRAC of epochs, dense for the rest; epoch-boundary
+    # switch keeps each phase one static-shape program.
+    sched = getattr(config, "token_keep_schedule", None)
+    dense_from_epoch = epochs  # never
+    dense_step = None
+    if sched is not None:
+        if not (0.0 < sched <= 1.0):
+            raise ValueError(f"--token-keep-schedule must be in (0,1], "
+                             f"got {sched}")
+        if cfg.token_keep >= 1.0:
+            raise ValueError(
+                "--token-keep-schedule requires --token-keep < 1.0")
+        if epochs < 2:
+            raise ValueError(
+                f"--token-keep-schedule needs >= 2 epochs; this run has "
+                f"{epochs}")
+        dense_from_epoch = min(max(1, int(round(sched * epochs))),
+                               epochs - 1)
+        import dataclasses as _dc
+        dense_step = make_train_step(_dc.replace(cfg, token_keep=1.0), tx,
+                                     lambdas, donate=True)
+        print(f"token-keep schedule: keep {cfg.token_keep} for epochs "
+              f"0..{dense_from_epoch - 1}, dense from epoch "
+              f"{dense_from_epoch}")
+
     warm_train_step = None
     compact_warmup = getattr(config, "compact_warmup", 0) or 0
     if cfg.compact_capacity is not None and compact_warmup > 0:
@@ -350,6 +383,8 @@ def main(argv=None):
             fn = (warm_train_step
                   if warm_train_step is not None
                   and steps_done < compact_warmup else train_step)
+            if dense_step is not None and epoch >= dense_from_epoch:
+                fn = dense_step
             state, metrics = fn(state, images, labels)
             steps_done += 1
             if i % config.print_freq == config.print_freq - 1:
