@@ -223,7 +223,10 @@ def main():
     if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
         try:
             td4_value, _, td4_batch = _try_ladder(
-                [(384, dict(**fused, **int8_kw, int8_dw=True,
+                [(768, dict(**fused, **int8_kw, int8_dw=True,
+                            int4_mlp=True, int4_attn=True, int4_grad=True,
+                            token_keep=0.5)),
+                 (384, dict(**fused, **int8_kw, int8_dw=True,
                             int4_mlp=True, int4_attn=True, int4_grad=True,
                             token_keep=0.5))], steps, warmup)
             line["int4_token_drop_optin"] = {
