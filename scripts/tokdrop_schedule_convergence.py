@@ -35,6 +35,10 @@ enable_compilation_cache()
 
 STEPS = int(os.environ.get("TDC_STEPS", "15000"))
 BATCH = int(os.environ.get("TDC_BATCH", "128"))
+# per-phase batches (the bench recipe runs drop b768 / dense b192 — FLIP's
+# masked-phase batch scaling); default = BATCH for both
+DROP_BATCH = int(os.environ.get("TDC_DROP_BATCH", "0")) or BATCH
+DENSE_BATCH = int(os.environ.get("TDC_DENSE_BATCH", "0")) or BATCH
 DENSE_TAIL = 0.1          # final fraction trained full-sequence in `sched`
 
 INT8 = dict(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
@@ -61,13 +65,19 @@ def run(tag):
 
     key = jax.random.PRNGKey(42)
     protos = jax.random.normal(key, (10, 224, 224, 3), jnp.bfloat16)
-    batches = []
-    for i in range(8):
-        kb = jax.random.fold_in(key, i + 1)
-        lab = jax.random.randint(kb, (BATCH,), 0, 10)
-        noise = jax.random.normal(jax.random.fold_in(kb, 7),
-                                  (BATCH, 224, 224, 3), jnp.bfloat16)
-        batches.append((0.25 * protos[lab] + noise, lab))
+    def make_batches(bs):
+        out = []
+        for i in range(8):
+            kb = jax.random.fold_in(key, i + 1)
+            lab = jax.random.randint(kb, (bs,), 0, 10)
+            noise = jax.random.normal(jax.random.fold_in(kb, 7),
+                                      (bs, 224, 224, 3), jnp.bfloat16)
+            out.append((0.25 * protos[lab] + noise, lab))
+        return out
+    drop_bs = DROP_BATCH if keep < 1.0 else BATCH
+    batches = make_batches(drop_bs)
+    dense_batches = (make_batches(DENSE_BATCH) if switch < STEPS
+                     and DENSE_BATCH != drop_bs else batches)
     ke = jax.random.fold_in(key, 999)
     elab = jax.random.randint(ke, (BATCH,), 0, 10)
     eimg = 0.25 * protos[elab] + jax.random.normal(
@@ -83,7 +93,7 @@ def run(tag):
                         STEPS - 1500, STEPS - 500, STEPS - 1]))
     report = []
     for s in range(STEPS):
-        img, lab = batches[s % 8]
+        img, lab = (batches if s < switch else dense_batches)[s % 8]
         step = step_a if s < switch else step_b or step_a
         state, metrics = step(state, img, lab)
         if s in marks and 0 <= s < STEPS:
