@@ -125,13 +125,10 @@ def main():
     drop_info = None
     if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
         try:
+            drop_kw = dict(**fused, **int8_kw, int8_dw=True,
+                           token_keep=0.5)
             drop_value, _, drop_batch = _try_ladder(
-                [(768, dict(**fused, **int8_kw, int8_dw=True,
-                            token_keep=0.5)),
-                 (512, dict(**fused, **int8_kw, int8_dw=True,
-                            token_keep=0.5)),
-                 (192, dict(**fused, **int8_kw, int8_dw=True,
-                            token_keep=0.5))], steps, warmup)
+                [(b, drop_kw) for b in (768, 512, 192)], steps, warmup)
             drop_info = {"value": round(drop_value, 2),
                          "batch": drop_batch, "token_keep": 0.5}
         except Exception as e:
@@ -222,13 +219,11 @@ def main():
     # measured configuration; compounds both accuracy caveats.
     if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
         try:
+            td4_kw = dict(**fused, **int8_kw, int8_dw=True,
+                          int4_mlp=True, int4_attn=True, int4_grad=True,
+                          token_keep=0.5)
             td4_value, _, td4_batch = _try_ladder(
-                [(768, dict(**fused, **int8_kw, int8_dw=True,
-                            int4_mlp=True, int4_attn=True, int4_grad=True,
-                            token_keep=0.5)),
-                 (384, dict(**fused, **int8_kw, int8_dw=True,
-                            int4_mlp=True, int4_attn=True, int4_grad=True,
-                            token_keep=0.5))], steps, warmup)
+                [(b, td4_kw) for b in (768, 384)], steps, warmup)
             line["int4_token_drop_optin"] = {
                 "value": round(td4_value, 2),
                 "vs_baseline": round(td4_value / BASELINE_IMG_PER_SEC, 4),

@@ -33,7 +33,9 @@ from vitax.data import get_dataloader
 from vitax.models import resvit
 from vitax.train.resvit_steps import (Lambdas, create_state, make_adamw_for,
                                       make_eval_step, make_train_step)
-from vitax.train.schedules import cosine_annealing_lr, cosine_with_warmup_lr
+from vitax.train.schedules import (cosine_annealing_lr,
+                                   cosine_with_warmup_lr,
+                                   token_keep_switch_epoch)
 from vitax.utils import (ExperimentWriter, process_config, tree_bytes,
                          write_json)
 from vitax.utils.routing_viz import save_routing_visualization
@@ -328,21 +330,9 @@ def main(argv=None):
     # for the first FRAC of epochs, dense for the rest; epoch-boundary
     # switch keeps each phase one static-shape program.
     sched = getattr(config, "token_keep_schedule", None)
-    dense_from_epoch = epochs  # never
+    dense_from_epoch = token_keep_switch_epoch(sched, cfg.token_keep, epochs)
     dense_step = None
-    if sched is not None:
-        if not (0.0 < sched <= 1.0):
-            raise ValueError(f"--token-keep-schedule must be in (0,1], "
-                             f"got {sched}")
-        if cfg.token_keep >= 1.0:
-            raise ValueError(
-                "--token-keep-schedule requires --token-keep < 1.0")
-        if epochs < 2:
-            raise ValueError(
-                f"--token-keep-schedule needs >= 2 epochs; this run has "
-                f"{epochs}")
-        dense_from_epoch = min(max(1, int(round(sched * epochs))),
-                               epochs - 1)
+    if dense_from_epoch < epochs:
         import dataclasses as _dc
         dense_step = make_train_step(_dc.replace(cfg, token_keep=1.0), tx,
                                      lambdas, donate=True)

@@ -104,3 +104,29 @@ def cosine_annealing_lr(base_lr: float, t_max: int,
             1.0 + jnp.cos(math.pi * step / t_max)) / 2.0
 
     return schedule
+
+
+def token_keep_switch_epoch(sched, token_keep: float, epochs: int) -> int:
+    """Validate a --token-keep-schedule request and return the epoch the
+    dense tail starts at (== epochs when no schedule is requested).
+
+    Shared by both trainers (train_cli / resvit_train_cli): the PatchDropout
+    fine-tune recipe trains dropped for the first `sched` fraction of epochs
+    and full-sequence for the rest (arXiv:2208.07220 §4.4); the switch is at
+    an epoch boundary so each phase is one static-shape program."""
+    if sched is None:
+        return epochs
+    if not (0.0 < sched <= 1.0):
+        raise ValueError(f"--token-keep-schedule must be in (0,1], "
+                         f"got {sched}")
+    if token_keep >= 1.0:
+        raise ValueError(
+            "--token-keep-schedule requires --token-keep < 1.0 "
+            "(the schedule switches FROM the dropped phase TO dense)")
+    if epochs < 2:
+        raise ValueError(
+            f"--token-keep-schedule needs >= 2 epochs to fit both phases; "
+            f"this run has {epochs} (train_steps // len(train_loader)) — "
+            f"raise --train-steps or drop the schedule flag")
+    # clamp so the dense tail always gets at least one epoch
+    return min(max(1, int(round(sched * epochs))), epochs - 1)

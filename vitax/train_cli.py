@@ -26,6 +26,7 @@ from vitax.core.prng import set_seed
 from vitax.data import get_dataloader
 from vitax.models import vit
 from vitax.parallel import mesh as pmesh
+from vitax.train.schedules import token_keep_switch_epoch
 from vitax.train import (create_train_state, make_train_step,
                          onecycle_lr, onecycle_momentum, sgd_momentum)
 from vitax.utils import ExperimentWriter, MetricTracker, print_memory_usage
@@ -237,24 +238,8 @@ def main(argv=None):
     # switch is at an epoch boundary so each phase is one static-shape
     # jitted program.
     sched = getattr(config, "token_keep_schedule", None)
-    dense_from_epoch = epochs  # never
-    if sched is not None:
-        if not (0.0 < sched <= 1.0):
-            raise ValueError(f"--token-keep-schedule must be in (0,1], "
-                             f"got {sched}")
-        if cfg.token_keep >= 1.0:
-            raise ValueError(
-                "--token-keep-schedule requires --token-keep < 1.0 "
-                "(the schedule switches FROM the dropped phase TO dense)")
-        if epochs < 2:
-            raise ValueError(
-                f"--token-keep-schedule needs >= 2 epochs to fit both "
-                f"phases; this run has {epochs} "
-                f"(train_steps // len(train_loader)) — raise --train-steps "
-                f"or drop the schedule flag")
-        # clamp so the dense tail always gets at least one epoch
-        dense_from_epoch = min(max(1, int(round(sched * epochs))),
-                               epochs - 1)
+    dense_from_epoch = token_keep_switch_epoch(sched, cfg.token_keep, epochs)
+    if dense_from_epoch < epochs:
         print(f"token-keep schedule: keep {cfg.token_keep} for epochs "
               f"0..{dense_from_epoch - 1}, dense from epoch "
               f"{dense_from_epoch}")
