@@ -98,10 +98,25 @@ def run(tag, compact_warmup=0, **over):
 WARMUP = int(os.environ.get("CC_WARMUP", "0"))
 CAPS = tuple(float(c) for c in
              os.environ.get("CC_CAPS", "0.625,0.5").split(","))
+# stacked-lever extras on the compact runs: CC_INT4=1 adds the full int4
+# tier, CC_TOKKEEP=r adds train-time token dropping — convergence evidence
+# for the all-levers res-vit configuration (PERF.md round 4)
+EXTRA = {}
+TAG = ""
+cc_int4 = os.environ.get("CC_INT4")
+if cc_int4 == "1":
+    EXTRA.update(int4_mlp=True, int4_attn=True, int4_grad=True)
+    TAG += "-int4"
+elif cc_int4 == "fwd":
+    EXTRA.update(int4_mlp=True, int4_attn=True)
+    TAG += "-int4fwd"
+if os.environ.get("CC_TOKKEEP"):
+    EXTRA["token_keep"] = float(os.environ["CC_TOKKEEP"])
+    TAG += f"-tk{EXTRA['token_keep']}"
 l_d, a_d = run("dense")
 for cap in CAPS:
-    l_c, a_c = run(f"compact-{cap}-w{WARMUP}", compact_capacity=cap,
-                   compact_warmup=WARMUP)
+    l_c, a_c = run(f"compact-{cap}-w{WARMUP}{TAG}", compact_capacity=cap,
+                   compact_warmup=WARMUP, **EXTRA)
     dl = max(abs(a - b) for a, b in zip(l_d[-3:], l_c[-3:]))
     da = max(abs(a - b) for a, b in zip(a_d[-3:], a_c[-3:]))
     print(f"compact-{cap}-w{WARMUP} vs dense: final-phase max |loss diff| "
