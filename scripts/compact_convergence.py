@@ -22,8 +22,8 @@ from vitax.train.resvit_steps import (Lambdas, create_state, make_adamw_for,
                                       make_train_step)
 from vitax.train.schedules import cosine_with_warmup_lr
 
-STEPS = 300
-BATCH = 64
+STEPS = int(os.environ.get("CC_STEPS", "300"))
+BATCH = int(os.environ.get("CC_BATCH", "64"))
 
 
 def run(tag, compact_warmup=0, **over):
