@@ -258,6 +258,12 @@ def main(argv=None):
     root_key = set_seed(config.seed)
 
     cfg = config_to_model_args(config)
+    if cfg.int4_mlp or cfg.int4_attn or cfg.int4_grad:
+        print("WARNING: the int4 tiers MEASURED DIVERGENT for routed "
+              "(res-vit) training — held-out accuracy flat-lines on the "
+              "convergence harness with or without compaction (PERF.md "
+              "'int4 x res-vit' section). They are validated for plain-ViT "
+              "training only; use the int8 tiers for res-vit recipes.")
     params = resvit.init_params(root_key, cfg)
 
     mapping_log = {}
