@@ -2515,10 +2515,16 @@ def _qkvo_attn_bwd_kernel(x_ref, w_ref, b_ref, wo_ref, do_ref,
 _QKVO_FWD_TILE = int(_os.environ.get("VITAX_QKVO_FWD_TILE", 2))
 
 
-def _qkvo_tile(b: int) -> int:
+def _qkvo_tile(b: int, spq: int = 256) -> int:
     """Forward tile: images per grid step (bigger projection matmuls,
-    measured -13% kernel time at 2 vs 1)."""
+    measured -13% kernel time at 2 vs 1). Short sequences (token-drop
+    training: spq ~104 at keep 0.5) measured best at tile 4 — the
+    per-image score matrices shrink ~4x, so doubling the tile restores
+    the projection-matmul row count (fwd4+bwd4: 2672 vs 2552 img/s at
+    the b768 drop phase, round 4). Env knobs override."""
     t = _QKVO_FWD_TILE
+    if "VITAX_QKVO_FWD_TILE" not in _os.environ and spq <= 128:
+        t = 4
     while t > 1 and b % t:
         t //= 2
     return max(t, 1)
@@ -2532,7 +2538,7 @@ def fused_qkvo_attention(xhat, wqkv, bqkv, wo, bo, seq_len, heads, head_dim):
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = xhat.shape
     hhd = heads * head_dim
-    tile = _qkvo_tile(b)
+    tile = _qkvo_tile(b, spq)
     return pl.pallas_call(
         functools.partial(_qkvo_attn_fwd_kernel, scale=scale,
                           seq_len=seq_len, heads=heads, head_dim=head_dim,
@@ -3072,7 +3078,7 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
-    tile = _qkvo_tile(b)
+    tile = _qkvo_tile(b, spq)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
     if int4:
@@ -3161,8 +3167,10 @@ def _fused_ln_qkvo_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
 _QKVO_BWD_TILE = int(_os.environ.get("VITAX_QKVO_BWD_TILE", 2))
 
 
-def _qkvo_bwd_tile(b: int) -> int:
+def _qkvo_bwd_tile(b: int, spq: int = 256) -> int:
     t = _QKVO_BWD_TILE
+    if "VITAX_QKVO_BWD_TILE" not in _os.environ and spq <= 128:
+        t = 4  # short-seq (token-drop) geometry — see _qkvo_tile
     while t > 1 and b % t:
         t //= 2
     return max(t, 1)
@@ -3178,7 +3186,7 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
-    tile = _qkvo_bwd_tile(b)
+    tile = _qkvo_bwd_tile(b, spq)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
     if int8 and int8_grad:
@@ -3768,7 +3776,7 @@ def fused_ln_qkvo_attention_rect(xc, x, gamma, beta, wqkv, bqkv, wo, bo,
     b, cpq, d = xc.shape
     spq = x.shape[1]
     hhd = heads * head_dim
-    tile = _qkvo_tile(b)
+    tile = _qkvo_tile(b, spq)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
     blk = lambda rows: pl.BlockSpec((tile, rows, d), lambda i: (i, 0, 0),
@@ -3845,7 +3853,7 @@ def _fused_ln_qkvo_rect_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
     b, cpq, d = xc.shape
     spq = x.shape[1]
     hhd = heads * head_dim
-    tile = _qkvo_bwd_tile(b)
+    tile = _qkvo_bwd_tile(b, spq)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
     blk = lambda rows: pl.BlockSpec((tile, rows, d), lambda i: (i, 0, 0),
