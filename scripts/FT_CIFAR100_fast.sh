@@ -3,7 +3,7 @@
 # PERF.md round 4): the full int8 fused-kernel stack + the PatchDropout
 # keep-0.5 schedule (train on a random half of the patch tokens for the
 # first 90% of epochs at the large batch, full-sequence at b192 for the
-# final 10%; eval is always full-sequence). Measured 2505 img/s/chip on
+# final 10%; eval is always full-sequence). Measured ~2440 img/s/chip (image-fraction amortized) on
 # TPU v5e = 1.85x the dense recipe, with no accuracy cost at recipe scale
 # on the synthetic harness (PERF.md "token-drop schedule" section;
 # arXiv:2208.07220, arXiv:2212.00794).

@@ -48,3 +48,14 @@ def test_convert_cli_roundtrip(tmp_path):
     with np.load(npz_out) as back:
         for k, v in flat.items():
             np.testing.assert_array_equal(back[k], v, err_msg=k)
+
+
+@requires_reference
+def test_check_torch_harness_mesh():
+    # VERDICT r4 #7: the --mesh mode shards the comparison batches over the
+    # fake 8-device mesh and asserts sharded == single-device logits
+    from vitax.check_torch import main
+    rc = main(["--reference-dir", REFERENCE_DIR, "--model-arch", "tiny",
+               "--image-size", "32", "--num-classes", "11",
+               "--batch-size", "8", "--num-batches", "2", "--mesh", "8"])
+    assert rc == 0

@@ -104,3 +104,26 @@ def test_plain_state_dict_still_loads(tmp_path):
     sd = load_state_dict_pth(path)
     np.testing.assert_array_equal(np.asarray(sd["w"]),
                                   np.arange(6.0).reshape(2, 3))
+
+
+class _Tied(torch.nn.Module):
+    # module-level so torch.save can pickle it by qualified name
+    def __init__(self):
+        super().__init__()
+        shared = torch.nn.Linear(3, 3, bias=False)
+        self.enc = shared
+        self.dec = shared
+
+
+def test_tied_module_emits_every_path(tmp_path):
+    # ADVICE r4: a module shared under two attribute paths (tied weights)
+    # must contribute params under BOTH names, like nn.Module.state_dict()
+    model = _Tied()
+    path = str(tmp_path / "tied.pth")
+    torch.save(model, path)
+    ref = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    assert set(ref) == {"enc.weight", "dec.weight"}  # torch emits both
+    sd = load_state_dict_pth(path)
+    assert set(sd) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(sd[k]), ref[k], err_msg=k)

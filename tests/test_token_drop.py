@@ -412,6 +412,26 @@ def test_cli_schedule_dense_batch_size(tmp_path):
     assert 0.0 <= best <= 1.0
 
 
+def test_cli_dense_batch_keeps_step_budget(tmp_path, capsys):
+    # ADVICE r4: with heterogeneous batches the dense tail's loader has more
+    # steps per epoch; the epoch plan must solve for the TOTAL optimizer
+    # step budget instead of reference epochs = steps // len(drop_loader)
+    # (which would run ~1.5x train_steps here). 64 samples, drop b16
+    # (4 steps/epoch), dense b8 (8 steps/epoch), sched 0.5, budget 16:
+    # per-epoch avg 6 -> 3 epochs, switch at 2 -> 2*4 + 1*8 = 16 steps.
+    from vitax import train_cli
+    train_cli.main([
+        "--dataset", "Synthetic", "--model-arch", "tiny",
+        "--image-size", "32", "--batch-size", "16",
+        "--synthetic-samples", "64", "--train-steps", "16",
+        "--token-keep", "0.5", "--token-keep-schedule", "0.5",
+        "--dense-batch-size", "8",
+        "--no-pallas", "--exp-root", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "schedule total 16" in out
+    assert "training 3 epochs (2 x 4 steps + 1 x 8 dense-tail steps" in out
+
+
 def test_resvit_cli_token_keep_schedule(tmp_path):
     from vitax import resvit_train_cli
     resvit_train_cli.main([

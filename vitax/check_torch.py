@@ -49,6 +49,16 @@ def main(argv=None):
     p.add_argument("--data-dir", type=str, default="data")
     p.add_argument("--logit-atol", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="also shard each comparison batch over an N-device "
+                        "data mesh and assert the sharded logits equal the "
+                        "single-device ones (the vitax inversion of the "
+                        "reference's pmap replication, src/check_jax.py:29-31)")
+    p.add_argument("--mesh-atol", type=float, default=1e-5,
+                   help="sharded-vs-single-device tolerance: the math is "
+                        "per-example but XLA tiles the smaller per-device "
+                        "batch differently, so reduction order shifts by a "
+                        "few float32 ulps")
     config = p.parse_args(argv)
 
     import torch
@@ -109,8 +119,32 @@ def main(argv=None):
                                 config.image_size).astype(np.float32)
 
     jit_apply = jax.jit(lambda p, x: vit.apply_nchw(p, x, cfg))
+
+    mesh_apply = None
+    if config.mesh:
+        # multi-device leg (VERDICT r4 #7): batch sharded over an N-device
+        # data mesh, params replicated — the eval math is per-example, so
+        # the sharded logits must match single-device to float32 ulps
+        from vitax.parallel import mesh as pmesh
+        devices = jax.devices()
+        if len(devices) < config.mesh:
+            raise SystemExit(f"--mesh {config.mesh} needs {config.mesh} "
+                             f"devices, found {len(devices)}")
+        if config.batch_size % config.mesh:
+            raise SystemExit("--batch-size must divide --mesh")
+        m = pmesh.make_mesh(n_data=config.mesh, n_model=1,
+                            devices=devices[:config.mesh])
+        mesh_params = jax.device_put(params,
+                                     pmesh.vit_param_shardings(params, m))
+
+        def mesh_apply(x):
+            xs = jax.device_put(x, pmesh.batch_sharding(m))
+            with m:
+                return np.asarray(jit_apply(mesh_params, xs))
+
     max_abs = 0.0
     argmax_diffs = 0
+    mesh_max_abs = 0.0
     total = 0
     for x in batches():
         with torch.no_grad():
@@ -119,10 +153,18 @@ def main(argv=None):
         max_abs = max(max_abs, float(np.max(np.abs(logits - ref_logits))))
         argmax_diffs += int((logits.argmax(-1) != ref_logits.argmax(-1)).sum())
         total += len(x)
+        if mesh_apply is not None:
+            mesh_logits = mesh_apply(jnp.asarray(x))
+            mesh_max_abs = max(mesh_max_abs, float(
+                np.max(np.abs(mesh_logits - logits))))
 
     print(f"max |logit diff| = {max_abs:.3e} (tolerance {config.logit_atol})")
     print(f"argmax mismatches: {argmax_diffs}/{total}")
     ok = max_abs <= config.logit_atol and argmax_diffs == 0
+    if mesh_apply is not None:
+        print(f"mesh({config.mesh}) vs single-device max |logit diff| = "
+              f"{mesh_max_abs:.3e} (tolerance {config.mesh_atol})")
+        ok = ok and mesh_max_abs <= config.mesh_atol
     print("PARITY OK" if ok else "PARITY FAILED")
     return 0 if ok else 1
 

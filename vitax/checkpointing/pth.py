@@ -804,12 +804,14 @@ def module_state_dict(obj: Any) -> Dict[str, np.ndarray]:
     `nn.Module.state_dict()` does and returns the flat `name.sub.weight`
     mapping, tensors already materialized as numpy arrays."""
     out: Dict[str, np.ndarray] = {}
-    seen: set = set()
 
-    def walk(m, prefix):
-        if id(m) in seen:
+    def walk(m, prefix, stack):
+        # guard only against true cycles (the recursion stack), not against
+        # revisits: a module shared under two attribute paths (tied weights)
+        # must contribute params under EVERY path, exactly like
+        # nn.Module.state_dict()'s unconditional child recursion (ADVICE r4)
+        if id(m) in stack:
             return
-        seen.add(id(m))
         d = getattr(m, "__dict__", None)
         if not isinstance(d, dict):
             return
@@ -819,11 +821,12 @@ def module_state_dict(obj: Any) -> Dict[str, np.ndarray]:
         for k, v in (d.get("_buffers") or {}).items():
             if isinstance(v, np.ndarray):
                 out[prefix + k] = v
+        stack = stack | {id(m)}
         for k, v in (d.get("_modules") or {}).items():
             if v is not None:
-                walk(v, prefix + k + ".")
+                walk(v, prefix + k + ".", stack)
 
-    walk(obj, "")
+    walk(obj, "", frozenset())
     return out
 
 

@@ -193,8 +193,48 @@ def main(argv=None):
     train_loader = get_dataloader(config.dataset, split="train", **common)
     valid_loader = get_dataloader(config.dataset, split="val", **common)
 
+    # epoch plan. Reference semantics: epochs = train_steps // len(loader)
+    # (src/train.py:168). With a heterogeneous-batch token-keep schedule
+    # (--dense-batch-size != --batch-size) the dense tail's loader has a
+    # different number of steps per epoch, so the reference formula would
+    # overrun the optimizer-step budget (~1.3x for the 768/192 recipe) and
+    # clamp OneCycle at min_lr; instead solve the epoch count from
+    #   sched*E*len(drop_loader) + (1-sched)*E*len(dense_loader) = steps
+    # and size OneCycle to the actual planned step count.
+    sched = getattr(config, "token_keep_schedule", None)
+    dense_bs = getattr(config, "dense_batch_size", None)
+    dense_loader = None
+    if sched is not None and dense_bs and dense_bs != config.batch_size:
+        dense_loader = get_dataloader(config.dataset, split="train",
+                                      **{**common, "batch_size": dense_bs})
+        per_epoch = (sched * len(train_loader)
+                     + (1.0 - sched) * len(dense_loader))
+        epochs = max(2, int(round(config.train_steps / per_epoch)))
+    else:
+        epochs = max(1, config.train_steps // max(1, len(train_loader)))
+
+    # PatchDropout keep schedule: --token-keep for the first FRAC of epochs,
+    # full-sequence for the rest (dense tail = the PatchDropout fine-tune
+    # recipe, arXiv:2208.07220 §4.4; accuracy evidence in PERF.md). The
+    # switch is at an epoch boundary so each phase is one static-shape
+    # jitted program.
+    dense_from_epoch = token_keep_switch_epoch(sched, cfg.token_keep, epochs)
+    if dense_loader is not None:
+        total = (dense_from_epoch * len(train_loader)
+                 + (epochs - dense_from_epoch) * len(dense_loader))
+    else:
+        total = config.train_steps
+    print(f"training {epochs} epochs "
+          f"({dense_from_epoch} x {len(train_loader)} steps"
+          + (f" + {epochs - dense_from_epoch} x {len(dense_loader)} "
+             f"dense-tail steps" if dense_loader is not None else "")
+          + f"; schedule total {total})")
+    if dense_from_epoch < epochs:
+        print(f"token-keep schedule: keep {cfg.token_keep} for epochs "
+              f"0..{dense_from_epoch - 1}, dense from epoch "
+              f"{dense_from_epoch}")
+
     # optimizer: SGD(momentum=0.9) + OneCycle (src/train.py:154-163)
-    total = config.train_steps
     pct = config.warmup_steps / total
     tx = sgd_momentum(onecycle_lr(config.lr, total, pct),
                       momentum_schedule=onecycle_momentum(total, pct),
@@ -229,28 +269,12 @@ def main(argv=None):
     train_tracker = MetricTracker("loss", "acc1", "acc5")
     valid_tracker = MetricTracker("loss", "acc1", "acc5")
 
-    epochs = max(1, config.train_steps // max(1, len(train_loader)))
-    print(f"training {epochs} epochs x {len(train_loader)} steps")
-
-    # PatchDropout keep schedule: --token-keep for the first FRAC of epochs,
-    # full-sequence for the rest (dense tail = the PatchDropout fine-tune
-    # recipe, arXiv:2208.07220 §4.4; accuracy evidence in PERF.md). The
-    # switch is at an epoch boundary so each phase is one static-shape
-    # jitted program.
-    sched = getattr(config, "token_keep_schedule", None)
-    dense_from_epoch = token_keep_switch_epoch(sched, cfg.token_keep, epochs)
-    if dense_from_epoch < epochs:
-        print(f"token-keep schedule: keep {cfg.token_keep} for epochs "
-              f"0..{dense_from_epoch - 1}, dense from epoch "
-              f"{dense_from_epoch}")
-
     with m:
         state = _put(state, m)
         train_step = make_train_step(cfg, tx, donate=True,
                                      device_prep=config.device_prep,
                                      mesh=m)
         dense_step = None
-        dense_loader = None
         eval_step = make_weighted_eval_step(cfg,
                                             device_prep=config.device_prep)
         for epoch in range(start_epoch, epochs):
@@ -260,14 +284,10 @@ def main(argv=None):
                     dense_step = make_train_step(
                         cfg.replace(token_keep=1.0), tx, donate=True,
                         device_prep=config.device_prep, mesh=m)
-                    # FLIP recipe: the dropped phase runs a larger batch
-                    # (halved activation memory); the dense tail returns
-                    # to its own batch size (arXiv:2212.00794 §3)
-                    dense_bs = getattr(config, "dense_batch_size", None)
-                    if dense_bs and dense_bs != config.batch_size:
-                        dense_loader = get_dataloader(
-                            config.dataset, split="train",
-                            **{**common, "batch_size": dense_bs})
+                    if dense_loader is not None:
+                        # FLIP recipe: the dropped phase runs a larger
+                        # batch (halved activation memory); the dense tail
+                        # returns to its own batch (arXiv:2212.00794 §3)
                         print(f"dense tail batch size: {dense_bs}")
                 step_fn = dense_step
                 loader = dense_loader or train_loader
