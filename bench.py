@@ -38,6 +38,53 @@ import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 2000.0
 
+# v5e official peak (bf16) for the MFU denominator; the measured sustained
+# peaks on this chip are lower (PERF.md roofline: 168 TF/s bf16 matmul,
+# ~302 TF/s int8 MLP-shape matmul) — both reported so the JSON carries the
+# honest "percent of what this chip actually delivers" next to textbook MFU.
+V5E_BF16_PEAK_TFS = 197.0
+# Measured end-to-end int8 step floor at the b192 bench config: ~93 ms for
+# 192 images = 2064 img/s (PERF.md step-split table). Only meaningful for
+# the dense int8 configuration; other lines carry mfu but not this field.
+DENSE_INT8_FLOOR_IMG_S = 2064.0
+
+# Machine-readable validation status of the int4 tiers (VERDICT r4 #8):
+# the largest numbers in this file carry the weakest accuracy evidence.
+INT4_VALIDATION = {
+    "status": "opt-in; synthetic-convergence evidence for PLAIN ViT only "
+              "(held-out top-1 96.9-99.2% vs int8 99.2%, PERF.md)",
+    "routed_training": "DIVERGES — int4 x res-vit routed training "
+                       "flat-lines (measured, PERF.md round-4); "
+                       "resvit_train_cli warns on int4 flags",
+    "real_data": "unvalidated (zero-egress environment)",
+}
+
+
+def _model_flops_per_img(n_tokens: int, d: int = 768, mlp: int = 3072,
+                         layers: int = 12, patch_in: int = 768,
+                         num_classes: int = 100) -> float:
+    """Model FLOPs per image for one train step (standard MFU convention:
+    3x the forward matmul FLOPs — backward costs 2x forward; in-kernel
+    recompute is NOT counted, it's overhead the kernels pay, not model work).
+
+    Token-drop phases pass the reduced n_tokens: attention-core FLOPs scale
+    ~keep², projections/MLP ~keep (PERF.md token-drop section)."""
+    n = n_tokens
+    per_layer = (2.0 * n * d * 3 * d      # qkv projection
+                 + 2.0 * n * d * d        # out projection
+                 + 2.0 * 2 * n * d * mlp  # fc1 + fc2
+                 + 2.0 * 2 * n * n * d)   # attention scores + PV
+    fwd = layers * per_layer + 2.0 * n * patch_in * d + 2.0 * d * num_classes
+    return 3.0 * fwd
+
+
+def _mfu_fields(img_per_sec: float, n_tokens: int = 197) -> dict:
+    flops = _model_flops_per_img(n_tokens)
+    tfs = img_per_sec * flops / 1e12
+    return {"model_flops_per_img": round(flops / 1e9, 2),  # GF
+            "model_tf_per_sec": round(tfs, 1),
+            "mfu_vs_bf16_peak": round(tfs / V5E_BF16_PEAK_TFS, 4)}
+
 
 def _measure(cfg, batch, steps, warmup):
     from vitax.models import vit
@@ -116,7 +163,10 @@ def main():
     dense_value, cfg, dense_batch = _try_ladder(dense_ladder, steps, warmup)
     dense_info = {"value": round(dense_value, 2),
                   "vs_baseline": round(dense_value / BASELINE_IMG_PER_SEC, 4),
-                  "batch": dense_batch}
+                  "batch": dense_batch, **_mfu_fields(dense_value)}
+    if cfg.int8_mlp and cfg.int8_dw:
+        dense_info["pct_of_measured_int8_floor"] = round(
+            dense_value / DENSE_INT8_FLOOR_IMG_S, 4)
 
     # drop phase of the schedule: keep 0.5 through the same kernels; halved
     # activation memory flips the batch curve (PERF.md round-4 sweep:
@@ -129,22 +179,22 @@ def main():
                            token_keep=0.5)
             drop_value, _, drop_batch = _try_ladder(
                 [(b, drop_kw) for b in (768, 512, 192)], steps, warmup)
+            # keep 0.5 sequence: cls + round(0.5*196) patch tokens = 99
             drop_info = {"value": round(drop_value, 2),
-                         "batch": drop_batch, "token_keep": 0.5}
+                         "batch": drop_batch, "token_keep": 0.5,
+                         **_mfu_fields(drop_value, n_tokens=99)}
         except Exception as e:
             drop_info = {"error": str(e)[:200]}
 
     if drop_info and "value" in drop_info:
-        # amortized over the recipe exactly as the emitted train_cli
-        # invocation runs it: 90% of OPTIMIZER STEPS at the drop phase's
-        # batch/rate, the final 10% of steps at the dense batch/rate
-        # (PatchDropout's tail is a step/epoch fraction, §4.4) —
-        # total images / total time over those steps
+        # amortized over the recipe by IMAGE fraction: the schedule switches
+        # at 90% of epochs, and an epoch is one pass over the dataset at
+        # either batch size, so 90% of IMAGES run at the drop rate and 10%
+        # at the dense rate (the emitted train_cli invocation plans its
+        # optimizer-step budget the same way — see train_cli.py's
+        # heterogeneous-batch epoch sizing). total images / total time:
         f = 1.0 - DENSE_TAIL
-        bd, bs = drop_info["batch"], dense_info["batch"]
-        value = ((f * bd + DENSE_TAIL * bs)
-                 / (f * bd / drop_info["value"]
-                    + DENSE_TAIL * bs / dense_value))
+        value = 1.0 / (f / drop_info["value"] + DENSE_TAIL / dense_value)
         primary_cfg = {
             # runnable as ONE train_cli invocation: the dropped phase runs
             # the larger batch (halved activation memory — FLIP recipe)
@@ -158,6 +208,17 @@ def main():
             # the drop ladder only measures int8_dw configs
             "int8_dw": True,
         }
+        # amortized MFU: 90% of images at the reduced-FLOP sequence, 10%
+        # dense — per-image FLOPs and wall time both amortize by image
+        # fraction, so TF/s = total FLOPs / total time
+        f_drop = _model_flops_per_img(99)
+        f_dense = _model_flops_per_img(197)
+        amort_flops = f * f_drop + DENSE_TAIL * f_dense
+        amort_time = f / drop_info["value"] + DENSE_TAIL / dense_value
+        tfs = amort_flops / amort_time / 1e12
+        primary_cfg["model_flops_per_img"] = round(amort_flops / 1e9, 2)
+        primary_cfg["model_tf_per_sec"] = round(tfs, 1)
+        primary_cfg["mfu_vs_bf16_peak"] = round(tfs / V5E_BF16_PEAK_TFS, 4)
     else:
         value = dense_value
         primary_cfg = {"batch": dense_batch, "fused_qkv": cfg.fused_qkv,
@@ -176,6 +237,14 @@ def main():
         "vs_baseline": round(value / BASELINE_IMG_PER_SEC, 4),
         "config": primary_cfg,
         "dense_recipe": dense_info,
+        # BASELINE.md has two target rows; no single config satisfies both.
+        # The throughput rows (primary/dense_recipe) ride the int8 stack,
+        # whose accuracy evidence is training-equivalence (PERF.md), while
+        # the <=1e-3 logit-parity row is held by the bf16_parity config.
+        "legs_note": ("throughput legs = int8/token-drop configs; "
+                      "logit-parity leg = bf16_parity config — "
+                      "different configs by design (dense bf16 2000 is "
+                      "above the chip's measured bf16 peak, PERF.md)"),
     }
 
     # Secondary: the parity-compliant number (pure-bf16 fused config holds
@@ -189,7 +258,8 @@ def main():
             line["bf16_parity"] = {
                 "value": round(bf16_value, 2),
                 "vs_baseline": round(bf16_value / BASELINE_IMG_PER_SEC, 4),
-                "batch": bf16_batch,
+                "batch": bf16_batch, **_mfu_fields(bf16_value),
+                "holds": "logit-parity <=1e-3 leg (tests/test_parity_torch)",
             }
         except Exception as e:
             line["bf16_parity"] = {"error": str(e)[:200]}
@@ -210,7 +280,8 @@ def main():
             line["int4_optin"] = {
                 "value": round(i4_value, 2),
                 "vs_baseline": round(i4_value / BASELINE_IMG_PER_SEC, 4),
-                "batch": i4_batch,
+                "batch": i4_batch, **_mfu_fields(i4_value),
+                "validation": INT4_VALIDATION,
             }
         except Exception as e:
             line["int4_optin"] = {"error": str(e)[:200]}
@@ -228,7 +299,8 @@ def main():
                 "value": round(td4_value, 2),
                 "vs_baseline": round(td4_value / BASELINE_IMG_PER_SEC, 4),
                 "batch": td4_batch,
-                "token_keep": 0.5,
+                "token_keep": 0.5, **_mfu_fields(td4_value, n_tokens=99),
+                "validation": INT4_VALIDATION,
             }
         except Exception as e:
             line["int4_token_drop_optin"] = {"error": str(e)[:200]}
