@@ -166,16 +166,23 @@ def _attention(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
 
 
 def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
-                           mesh=None) -> Optional[jnp.ndarray]:
+                           mesh=None,
+                           seq_len: Optional[int] = None
+                           ) -> Optional[jnp.ndarray]:
     """LN1 + QKV + attention + out-projection in ONE Pallas kernel
     (ops.pallas_kernels.fused_ln_qkvo_attention) — neither x̂ nor any
     per-head intermediate touches HBM; LN and all projection weight grads
     accumulate in VMEM. Returns None when the shape gate rejects.
     With a model-parallel mesh, runs per-shard via shard_map (Megatron
-    head/row split + one psum) instead of letting XLA all-gather wqkv."""
+    head/row split + one psum) instead of letting XLA all-gather wqkv.
+    `seq_len`: padded-stream mode — x already carries zero/garbage pad rows
+    up to the kernel row granularity (apply() pads ONCE before the layer
+    loop); skip the per-layer pad/slice and return [B, spq, D]."""
     from vitax.ops import pallas_kernels as pk
     dt = x.dtype
     b, s, d = x.shape
+    if seq_len is not None:
+        s = seq_len  # x.shape[1] is the padded spq
     h, hd = cfg.num_heads, cfg.head_dim
     p = lp["attn"]
 
@@ -219,14 +226,20 @@ def _fused_block_attention(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
     bo = p["out"]["bias"].astype(jnp.float32)
     spq = (s + 7) // 8 * 8
     # zero-pad: LN of a zero row is finite, and padded-row cotangents are
-    # zero, so no gradient leaks from padding (kernel docstring)
-    xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
+    # zero, so no gradient leaks from padding (kernel docstring). In
+    # padded-stream mode x already has the pad rows (apply() pads once).
+    if seq_len is not None:
+        xp = x
+    else:
+        xp = jnp.pad(x, ((0, 0), (0, spq - s), (0, 0))) if spq != s else x
     out = pk.fused_ln_qkvo_attention(
         xp, lp["ln1"]["scale"].astype(jnp.float32),
         lp["ln1"]["bias"].astype(jnp.float32), wqkv, bqkv, wo, bo,
         LN_EPS, s, h, hd, cfg.int8_attn, cfg.int8_attn_grad,
         cfg.int8_dw, cfg.int4_attn,
-        cfg.int4_grad and cfg.int4_attn)[:, :s]
+        cfg.int4_grad and cfg.int4_attn)
+    if seq_len is None:
+        out = out[:, :s]
     return out.astype(dt)
 
 
@@ -275,12 +288,18 @@ def _fused_block_mlp(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
 
 def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
            rng: Optional[jax.Array], deterministic: bool,
-           mesh=None) -> jnp.ndarray:
+           mesh=None, seq_len: Optional[int] = None) -> jnp.ndarray:
     """Pre-LN encoder block (src/model.py:117-130)."""
     r1 = r2 = r3 = None
     if rng is not None:
         r1, r2, r3 = jax.random.split(rng, 3)
-    h = _fused_block_attention(x, lp, cfg, mesh) if cfg.fused_qkv else None
+    h = (_fused_block_attention(x, lp, cfg, mesh, seq_len)
+         if cfg.fused_qkv else None)
+    if h is None and seq_len is not None:
+        # padded-stream eligibility mirrors the fused gates; the XLA paths
+        # have no seq mask, so reaching them here would leak pad K/V
+        raise RuntimeError("padded-stream block requires the fused "
+                           "attention kernel; gate mismatch in apply()")
     if h is None:
         h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], LN_EPS,
                        use_pallas=cfg.use_pallas)
@@ -294,6 +313,9 @@ def _block(x: jnp.ndarray, lp: Params, cfg: ViTConfig,
         y = _fused_block_mlp(x, lp, cfg, mesh)
         if y is not None:
             return y
+    if seq_len is not None:
+        raise RuntimeError("padded-stream block requires the fused MLP "
+                           "kernel; gate mismatch in apply()")
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], LN_EPS,
                    use_pallas=cfg.use_pallas)
     # MlpBlock with its two dropouts (src/model.py:41-51)
@@ -360,6 +382,50 @@ def drop_tokens(x: jnp.ndarray, rng: jax.Array, keep_ratio: float,
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
+def _padded_stream_len(x: jnp.ndarray, params: Params, cfg: ViTConfig,
+                       mesh, deterministic: bool) -> Optional[int]:
+    """Return spq if the whole encoder can run on a single zero-padded
+    [B, spq, D] residual stream, else None.
+
+    Today both fused kernels re-pad/slice their input EVERY layer (197→200
+    rows for attention, row-block alignment for the MLP) — four ~60 MB HBM
+    copies per layer at the bench config. Padding ONCE before the layer
+    loop removes them all: the attention kernel masks pad K/V columns via
+    seq_len (probs exactly 0 ⇒ no value leak, no gradient leak), pad-row
+    outputs stay confined to pad rows (LN/MLP are row-wise), and the head
+    reads only the cls row. Measured −10% forward (scripts/handoff_probe.py
+    variant D). Requires BOTH fused kernels — the XLA fallbacks have no
+    sequence mask — so the gates here mirror _fused_block_attention /
+    _fused_block_mlp exactly."""
+    from vitax.ops import pallas_kernels as pk
+    import os
+    if os.environ.get("VITAX_PADDED_STREAM", "1") == "0":
+        return None  # A/B knob
+    b, s, d = x.shape
+    spq = (s + 7) // 8 * 8
+    if spq == s:
+        return None  # nothing to pad
+    if not (cfg.fused_qkv and cfg.fused_mlp):
+        return None
+    if not (deterministic or cfg.dropout_rate <= 0.0):
+        return None
+    if mesh is not None:
+        from vitax.parallel.tp_kernels import tp_size
+        if tp_size(mesh) > 1:
+            return None  # TP shard_map kernels keep their own glue
+    h, hd = cfg.num_heads, cfg.head_dim
+    xp = jax.ShapeDtypeStruct((b, spq, d), cfg.dtype)
+    wqkv = jax.ShapeDtypeStruct((d, 3 * h * hd), cfg.dtype)
+    if not pk.qkv_attention_supported(xp, wqkv):
+        return None
+    lp0 = jax.tree.map(lambda a: a[0], params["layers"])
+    w1 = lp0["mlp"]["fc1"]["kernel"]
+    w2 = lp0["mlp"]["fc2"]["kernel"]
+    if not pk.ln_mlp_supported(xp, w1, w2):
+        return None
+    return spq
+
+
 def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
           train: bool = False, rng: Optional[jax.Array] = None,
           mesh=None) -> jnp.ndarray:
@@ -383,6 +449,14 @@ def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
     else:
         layer_rngs = jax.random.split(rng, L)
 
+    # padded residual stream: pad once here instead of per-layer pad/slice
+    # inside every kernel call (see _padded_stream_len)
+    seq_len = None
+    spq = _padded_stream_len(x, params, cfg, mesh, deterministic)
+    if spq is not None:
+        seq_len = x.shape[1]
+        x = jnp.pad(x, ((0, 0), (0, spq - seq_len), (0, 0)))
+
     def _wrap(f):
         if cfg.remat == "selective":
             # keep attention outputs, recompute LN/MLP/GELU in the backward —
@@ -399,15 +473,16 @@ def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
 
     def body(x, inputs):
         lp, r = inputs
-        return _block(x, lp, cfg, r, deterministic, mesh), None
+        return _block(x, lp, cfg, r, deterministic, mesh, seq_len), None
 
     if layer_rngs is None:
         def body_nr(x, lp):
-            return _block(x, lp, cfg, None, True, mesh), None
+            return _block(x, lp, cfg, None, True, mesh, seq_len), None
         x, _ = jax.lax.scan(_wrap(body_nr), x, params["layers"])
     else:
         x, _ = jax.lax.scan(_wrap(body), x, (params["layers"], layer_rngs))
 
+    # pad rows (if any) carry confined garbage; the head reads only cls
     x = layer_norm(x, params["encoder_norm"]["scale"],
                    params["encoder_norm"]["bias"], LN_EPS,
                    use_pallas=cfg.use_pallas)

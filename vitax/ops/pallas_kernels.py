@@ -425,7 +425,16 @@ _MLP_FWD_CHUNKS = int(_os.environ.get("VITAX_MLP_CHUNKS", 2))
 def _mlp_block_rows(n: int, int8: bool = False) -> int:
     if _MLP_BLOCK_ROWS:
         return _MLP_BLOCK_ROWS
-    return 1024 if (int8 and n >= 32768) else 256
+    base = 1024 if (int8 and n >= 32768) else 256
+    if base == 1024 and n % base:
+        # padded-stream callers (models/vit.py) hand an n that is not
+        # block-aligned; a nearby exact divisor avoids re-padding the whole
+        # [n,D] stream every layer (a ~60 MB HBM copy per pad — measured
+        # −10% forward as scripts/handoff_probe.py variant D)
+        for cand in (1280, 960, 768, 640, 512):
+            if n % cand == 0 and n % (cand * _MLP_FWD_CHUNKS) == 0:
+                return cand
+    return base
 
 # XLA's default *scoped* VMEM budget for a custom call is only 16 MB —
 # far below the ~128 MB physically present (measured on-chip; the limit
