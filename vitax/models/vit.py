@@ -475,7 +475,76 @@ def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
         lp, r = inputs
         return _block(x, lp, cfg, r, deterministic, mesh, seq_len), None
 
-    if layer_rngs is None:
+    # int8 activation handoff (VERDICT r4 #1): on the padded stream with
+    # the full int8 stack, each kernel's epilogue emits the next kernel's
+    # pre-quantized input, so no kernel pays an input LN+pack. Forward
+    # values and gradients are bit-identical to the non-handoff int8 path
+    # (pallas_kernels.fused_block_int8_handoff). Measured: forward −9%/layer
+    # (probe) and 74.6% of the int8 floor (step_split, vs 67.8% without) —
+    # but the WHOLE-PROGRAM backward is a few ms slower with the handoff
+    # program at the b16 dense shape (per-kernel bwd times unchanged; an
+    # XLA scheduling artifact, PERF.md round-5), so the default gate is
+    # short sequences (the token-drop phase, where the handoff measured
+    # +1.0% end-to-end). VITAX_INT8_HANDOFF=1 forces it everywhere,
+    # =0 disables, =auto/unset gates on spq <= 128.
+    import os as _os
+    _ho_env = _os.environ.get("VITAX_INT8_HANDOFF", "auto")
+    handoff = (seq_len is not None and layer_rngs is None
+               and cfg.int8_attn and cfg.int8_mlp
+               and cfg.int8_attn_grad and cfg.int8_mlp_grad
+               and not (cfg.int4_mlp or cfg.int4_attn or cfg.int4_grad)
+               and not cfg.fused_mlp_save
+               and _ho_env != "0"
+               and (_ho_env == "1" or x.shape[1] <= 128))
+    if handoff:
+        from vitax.ops import pallas_kernels as pk
+        handoff = pk.block_handoff_supported(x)
+    if handoff:
+        f32 = jnp.float32
+        dt = cfg.dtype
+        h, hd = cfg.num_heads, cfg.head_dim
+        ln1_g = params["layers"]["ln1"]["scale"].astype(f32)
+        ln1_b = params["layers"]["ln1"]["bias"].astype(f32)
+        # next layer's LN1 per layer; the last layer gets the final encoder
+        # norm (its packed epilogue output is discarded)
+        gn = jnp.concatenate(
+            [ln1_g[1:], params["encoder_norm"]["scale"].astype(f32)[None]])
+        bn = jnp.concatenate(
+            [ln1_b[1:], params["encoder_norm"]["bias"].astype(f32)[None]])
+        xq0, sx0 = pk.pack_stream(x, ln1_g[0], ln1_b[0], LN_EPS)
+
+        def body_ho(carry, inputs):
+            lp, g_next, b_next = inputs
+            xc, xq, sx = carry
+            p = lp["attn"]
+            d = xc.shape[-1]
+            wqkv = jnp.concatenate(
+                [p["query"]["kernel"].astype(dt).reshape(d, h * hd),
+                 p["key"]["kernel"].astype(dt).reshape(d, h * hd),
+                 p["value"]["kernel"].astype(dt).reshape(d, h * hd)], axis=1)
+            bqkv = jnp.concatenate(
+                [p["query"]["bias"].reshape(-1),
+                 p["key"]["bias"].reshape(-1),
+                 p["value"]["bias"].reshape(-1)]).astype(f32)
+            out = pk.fused_block_int8_handoff(
+                xc, xq, sx,
+                lp["ln1"]["scale"].astype(f32), lp["ln1"]["bias"].astype(f32),
+                wqkv, bqkv,
+                p["out"]["kernel"].astype(dt).reshape(h * hd, d),
+                p["out"]["bias"].astype(f32),
+                lp["ln2"]["scale"].astype(f32), lp["ln2"]["bias"].astype(f32),
+                lp["mlp"]["fc1"]["kernel"].astype(dt),
+                lp["mlp"]["fc1"]["bias"].astype(f32),
+                lp["mlp"]["fc2"]["kernel"].astype(dt),
+                lp["mlp"]["fc2"]["bias"].astype(f32),
+                g_next, b_next,
+                LN_EPS, seq_len, h, hd, cfg.int8_dw)
+            return out, None
+
+        carry, _ = jax.lax.scan(_wrap(body_ho), (x, xq0, sx0),
+                                (params["layers"], gn, bn))
+        x = carry[0]
+    elif layer_rngs is None:
         def body_nr(x, lp):
             return _block(x, lp, cfg, None, True, mesh, seq_len), None
         x, _ = jax.lax.scan(_wrap(body_nr), x, params["layers"])

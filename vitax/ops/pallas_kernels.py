@@ -37,6 +37,8 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as _np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -3293,6 +3295,295 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
 
 
 fused_ln_qkvo_attention.defvjp(_fused_ln_qkvo_fwd, _fused_ln_qkvo_bwd)
+
+
+# =============================================================================
+# Cross-kernel int8 activation handoff (VERDICT r4 #1)
+#
+# In the int8 forward, both block-half kernels pay a per-row input
+# quantization (LN + amax + round/clip/convert pack) that serializes against
+# the MXU. Each kernel's epilogue already materializes the NEXT kernel's
+# input — the residual stream — so the handoff kernels emit, alongside the
+# bf16 residual, the next consumer's LN-normalized per-row int8 input and
+# row scales; the consumer skips its LN + input pack entirely. Gradients
+# are UNCHANGED: the int8 forward is a straight-through approximation and
+# every backward below reuses the existing backward kernels on the saved
+# bf16 stream, so the handoff path's gradients are bit-identical to the
+# non-handoff int8 path's. Measured (scripts/handoff_probe.py): −9% forward
+# per layer on top of the padded stream. Target being accelerated: the
+# encoder block, src/model.py:104-130.
+# =============================================================================
+
+
+def _ln_quant_rows(r32, g32, be32, eps):
+    """LN (fp32 statistics) + per-row symmetric int8 quantization."""
+    mu = jnp.mean(r32, axis=-1, keepdims=True)
+    rc = r32 - mu
+    var = jnp.mean(rc * rc, axis=-1, keepdims=True)
+    xhat = rc * jax.lax.rsqrt(var + eps)
+    return _quant_rows(xhat * g32 + be32)
+
+
+def _ln_qkvo_fwd_int8_ho_kernel(x_ref, xq_ref, sx_ref, g2_ref, be2_ref,
+                                w8_ref, sw_ref, b_ref, wo8_ref, swo_ref,
+                                bo_ref, r1_ref, xq2_ref, sx2_ref, *,
+                                eps, scale, seq_len, heads, head_dim, tile):
+    """int8 attention half with prepacked input and packed-output epilogue:
+    consumes (x, xq, sx) where xq/sx are the already-quantized LN1 output
+    (produced by the previous layer's MLP epilogue, or packed once in XLA
+    for layer 0), adds the residual IN-kernel, and emits r1 = x + attn plus
+    LN2(r1) quantized for the MLP kernel. The epilogue quantizes the
+    bf16-ROUNDED r1 so the consumer sees exactly the values it would have
+    computed from r1 itself."""
+    spq = x_ref.shape[1]
+    d = x_ref.shape[2]
+    nrows = tile * spq
+    xq = xq_ref[:].reshape(nrows, d)
+    sx = sx_ref[:].reshape(nrows, sx_ref.shape[2])[:, :1]
+    qkv = jax.lax.dot_general(xq, w8_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32
+                              ).astype(jnp.float32) * sx * sw_ref[:]
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    hhd = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (spq, spq), 1)
+    ths = [(t, h) for t in range(tile) for h in range(heads)]
+    ss = []
+    for t, h in ths:
+        sl = slice(t * spq, (t + 1) * spq)
+        o = h * head_dim
+        q = qkv[sl, o:o + head_dim]
+        k = qkv[sl, hhd + o:hhd + o + head_dim]
+        s = jax.lax.dot_general(q, k, _AB_T,
+                                preferred_element_type=jnp.float32) * scale
+        if seq_len < spq:
+            s = jnp.where(col < seq_len, s, -1e30)
+        ss.append(s)
+    pss = [_softmax_rows(s) for s in ss]
+    outs = []
+    for (t, h), p in zip(ths, pss):
+        sl = slice(t * spq, (t + 1) * spq)
+        o = h * head_dim
+        v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
+        outs.append(jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(
+        [jnp.concatenate(outs[t * heads:(t + 1) * heads], axis=-1)
+         for t in range(tile)], axis=0)
+    aq, sa = _quant_rows(attn)
+    y = jax.lax.dot_general(aq, wo8_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32) * sa * swo_ref[:] \
+        + bo_ref[:].astype(jnp.float32)
+    r1 = x_ref[:].reshape(nrows, d).astype(jnp.float32) + y
+    r1b = r1.astype(x_ref.dtype)
+    r1_ref[:] = r1b.reshape(tile, spq, d)
+    q2, s2 = _ln_quant_rows(r1b.astype(jnp.float32),
+                            g2_ref[:].astype(jnp.float32),
+                            be2_ref[:].astype(jnp.float32), eps)
+    xq2_ref[:] = q2.reshape(tile, spq, d)
+    sx2_ref[:] = jnp.broadcast_to(s2, (nrows, sx2_ref.shape[2])
+                                  ).reshape(tile, spq, sx2_ref.shape[2])
+
+
+def _ln_mlp_fwd_int8_ho_kernel(x_ref, xq_ref, sx_ref, gn_ref, ben_ref,
+                               w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref,
+                               b2_ref, o_ref, xqn_ref, sxn_ref, *,
+                               eps, chunks):
+    """int8 MLP half with prepacked input and packed-output epilogue:
+    consumes (r1, xq2, sx2) from the attention handoff kernel, emits
+    r2 = r1 + mlp plus LN1_next(r2) quantized for the NEXT layer's
+    attention kernel (gn/ben are the next layer's LN1 — or the final
+    encoder norm for the last layer, whose packed output is discarded)."""
+    rows = x_ref.shape[0] // chunks
+    s1 = s1_ref[:]
+    s2 = s2_ref[:]
+    b1f = b1_ref[:].astype(jnp.float32)
+    b2f = b2_ref[:].astype(jnp.float32)
+    gn32 = gn_ref[:].astype(jnp.float32)
+    ben32 = ben_ref[:].astype(jnp.float32)
+    sls = [slice(c * rows, (c + 1) * rows) for c in range(chunks)]
+    a1s = [jax.lax.dot_general(xq_ref[sl, :], w1q_ref[:],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32
+                               ).astype(jnp.float32)
+           * sx_ref[sl, :][:, :1] * s1 + b1f
+           for sl in sls]
+    h1qs = [_quant_rows(_gelu_q(a1)) for a1 in a1s]
+    for sl, (h1q, sh) in zip(sls, h1qs):
+        y = jax.lax.dot_general(h1q, w2q_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * sh * s2 + b2f
+        r2 = x_ref[sl, :].astype(jnp.float32) + y
+        r2b = r2.astype(x_ref.dtype)
+        o_ref[sl, :] = r2b
+        qn, sn = _ln_quant_rows(r2b.astype(jnp.float32), gn32, ben32, eps)
+        xqn_ref[sl, :] = qn
+        sxn_ref[sl, :] = jnp.broadcast_to(sn, (rows, sxn_ref.shape[1]))
+
+
+_HO_SCALE_LANES = int(_os.environ.get("VITAX_HO_SCALE_LANES", 8))
+
+
+def _qkvo_ho_fwd_call(x, xq, sx, g2, be2, wqkv, bqkv, wo, bo,
+                      eps, seq_len, heads, head_dim):
+    b, spq, d = x.shape
+    hhd = heads * head_dim
+    tile = _qkvo_tile(b, spq)
+    scale = 1.0 / math.sqrt(head_dim)
+    w8, sw = _quant_cols_host(wqkv)
+    wo8, swo = _quant_cols_host(wo)
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    t3 = lambda w, dt=None: pl.BlockSpec((tile, spq, w), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_qkvo_fwd_int8_ho_kernel, eps=eps, scale=scale,
+                          seq_len=seq_len, heads=heads, head_dim=head_dim,
+                          tile=tile),
+        grid=(b // tile,),
+        in_specs=[t3(d), t3(d), t3(_HO_SCALE_LANES), vec(d), vec(d),
+                  pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(3 * hhd), vec(3 * hhd),
+                  pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d), vec(d)],
+        out_specs=(t3(d), t3(d), t3(_HO_SCALE_LANES)),
+        out_shape=(jax.ShapeDtypeStruct((b, spq, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, spq, d), jnp.int8),
+                   jax.ShapeDtypeStruct((b, spq, _HO_SCALE_LANES),
+                                        jnp.float32)),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x, xq, sx, g2, be2, w8, sw, bqkv, wo8, swo, bo)
+
+
+def _mlp_ho_fwd_call(x2, xq2, sx2, gn, ben, w1, b1, w2, b2, eps):
+    n, d = x2.shape
+    m = w1.shape[1]
+    w1q, s1 = _quant_cols_host(w1)
+    w2q, s2 = _quant_cols_host(w2)
+    rows, chunks = _ln_mlp_fwd_geometry(n, int8=True)
+    vec = lambda k: pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    s_blk = pl.BlockSpec((rows, _HO_SCALE_LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_fwd_int8_ho_kernel, eps=eps,
+                          chunks=chunks),
+        grid=(n // rows,),
+        in_specs=[row_blk, row_blk, s_blk, vec(d), vec(d),
+                  pl.BlockSpec((d, m), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(m), vec(m),
+                  pl.BlockSpec((m, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d), vec(d)],
+        out_specs=(row_blk, row_blk, s_blk),
+        out_shape=(jax.ShapeDtypeStruct((n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((n, d), jnp.int8),
+                   jax.ShapeDtypeStruct((n, _HO_SCALE_LANES), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * m, transcendentals=2 * n * m,
+            bytes_accessed=3 * n * d * x2.dtype.itemsize + 4 * d * m),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x2, xq2, sx2, gn, ben, w1q, s1, b1, w2q, s2, b2)
+
+
+def pack_stream(x, gamma, beta, eps):
+    """XLA-side LN + per-row int8 pack of the stream — layer 0's handoff
+    input (every later layer's comes from the previous MLP epilogue)."""
+    b, spq, d = x.shape
+    x32 = x.reshape(b * spq, d).astype(jnp.float32)
+    q, s = _ln_quant_rows(x32, gamma.astype(jnp.float32),
+                          beta.astype(jnp.float32), eps)
+    return (q.reshape(b, spq, d),
+            jnp.broadcast_to(s, (b * spq, _HO_SCALE_LANES)
+                             ).reshape(b, spq, _HO_SCALE_LANES))
+
+
+def block_handoff_supported(x, cfg_like=None) -> bool:
+    """Shape gate for fused_block_int8_handoff: both halves' gates, plus
+    the MLP row geometry must divide the padded stream exactly (the whole
+    point is zero re-padding)."""
+    b, spq, d = x.shape
+    n = b * spq
+    rows, _ = _ln_mlp_fwd_geometry(n, int8=True)
+    return n % rows == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20, 21))
+def fused_block_int8_handoff(x, xq, sx, g1, be1, wqkv, bqkv, wo, bo,
+                             g2, be2, w1, b1, w2, b2, gn, ben,
+                             eps, seq_len, heads, head_dim, int8_dw):
+    """One full encoder block on the int8 handoff path.
+
+    (x, xq, sx) -> (r2, xqn, sxn): x is the bf16 padded residual stream
+    [B,spq,D], xq/sx its packed LN1 form. Forward runs the two handoff
+    kernels (each skips its input LN+pack and emits the next consumer's);
+    gn/ben are the NEXT layer's LN1 params (the final encoder norm for the
+    last layer — its packed output is simply discarded).
+
+    Backward is bit-identical to the non-handoff int8 path: the packed
+    tensors are straight-through forward data (zero cotangent — the full
+    gradient of the stream rides the bf16 x, exactly the STE convention
+    every int8 tier here already uses), and the two existing backward
+    kernels run unchanged on the saved bf16 stream. gn/ben get zero
+    gradient from this block — their real gradient comes from the next
+    block's backward (or the final layer_norm), where they are g1/be1."""
+    out, _ = _block_ho_fwd(x, xq, sx, g1, be1, wqkv, bqkv, wo, bo,
+                           g2, be2, w1, b1, w2, b2, gn, ben,
+                           eps, seq_len, heads, head_dim, int8_dw)
+    return out
+
+
+def _block_ho_fwd(x, xq, sx, g1, be1, wqkv, bqkv, wo, bo,
+                  g2, be2, w1, b1, w2, b2, gn, ben,
+                  eps, seq_len, heads, head_dim, int8_dw):
+    b, spq, d = x.shape
+    n = b * spq
+    r1, xq2, sx2 = _qkvo_ho_fwd_call(x, xq, sx, g2, be2, wqkv, bqkv, wo, bo,
+                                     eps, seq_len, heads, head_dim)
+    r2, xqn, sxn = _mlp_ho_fwd_call(
+        r1.reshape(n, d), xq2.reshape(n, d),
+        sx2.reshape(n, _HO_SCALE_LANES), gn, ben, w1, b1, w2, b2, eps)
+    out = (r2.reshape(b, spq, d), xqn.reshape(b, spq, d),
+           sxn.reshape(b, spq, _HO_SCALE_LANES))
+    return out, (x, r1, g1, be1, wqkv, bqkv, wo, g2, be2, w1, b1, w2, sx)
+
+
+def _block_ho_bwd(eps, seq_len, heads, head_dim, int8_dw, res, cts):
+    x, r1, g1, be1, wqkv, bqkv, wo, g2, be2, w1, b1, w2, sx = res
+    dr2, _, _ = cts            # packed outputs: forward-only data (STE)
+    b, spq, d = x.shape
+    n = b * spq
+    dr1_2d, dg2, dbe2, dw1, db1, dw2, db2 = _ln_mlp_bwd_int8_call(
+        r1.reshape(n, d), g2, be2, w1, b1, w2, dr2.reshape(n, d), eps,
+        True, int8_dw)
+    dr1 = dr1_2d.reshape(b, spq, d)
+    # attention half: forward was r1 = x + attn(x); the qkvo backward
+    # kernel produces d(attn)/dx through LN1 — add the residual identity
+    datt = _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, True, True,
+                              int8_dw, False, False,
+                              (x, g1, be1, wqkv, bqkv, wo), dr1)
+    dx_att, dg1, dbe1, dwqkv, dbqkv, dwo, dbo = datt
+    dx = dx_att + dr1
+    f0 = _np.zeros((), jax.dtypes.float0)
+    dxq = _np.broadcast_to(f0, (b, spq, d))
+    # cast weight grads to the primal dtypes (like every wrapper above) —
+    # also halves the stacked-[L,...] grad buffers XLA fuses around the
+    # backward kernels when params are bf16
+    return (dx, dxq, jnp.zeros_like(sx),
+            dg1, dbe1, dwqkv, dbqkv, dwo, dbo,
+            dg2.astype(g2.dtype), dbe2.astype(be2.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2,
+            jnp.zeros_like(g2), jnp.zeros_like(be2))
+
+
+fused_block_int8_handoff.defvjp(_block_ho_fwd, _block_ho_bwd)
 
 
 # =============================================================================
