@@ -42,7 +42,7 @@ _SLOW_MODULES = {
     "test_pallas_kernels", "test_tp_fused_kernels", "test_resvit_parallel",
     "test_multihost", "test_token_drop", "test_trainer_equivalence",
     "test_resvit_compact", "test_parity_resvit", "test_fused_qkv_attention",
-    "test_cifar_e2e",
+    "test_cifar_e2e", "test_handoff",
 }
 
 
