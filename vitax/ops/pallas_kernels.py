@@ -2182,13 +2182,19 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps, residual=True,
 # dγ/dβ). Residuals: just (x̂, W, b) — no q/k/v/probs ever touch HBM.
 # =============================================================================
 
-def qkv_attention_supported(xhat, wqkv) -> bool:
+def qkv_attention_supported(xhat, wqkv, heads=None, kv_heads=None) -> bool:
     if xhat.ndim != 3 or wqkv.ndim != 2:
         return False
     b, s, d = xhat.shape
-    if wqkv.shape[0] != d or wqkv.shape[1] % 3 != 0:
+    if heads and kv_heads and kv_heads != heads:
+        # GQA packed layout [q (h·hd) | k (hkv·hd) | v (hkv·hd)]
+        if wqkv.shape[0] != d or wqkv.shape[1] % (heads + 2 * kv_heads):
+            return False
+        hhd = wqkv.shape[1] * heads // (heads + 2 * kv_heads)
+    elif wqkv.shape[0] != d or wqkv.shape[1] % 3 != 0:
         return False
-    hhd = wqkv.shape[1] // 3
+    else:
+        hhd = wqkv.shape[1] // 3
     # d=1280 (h14) tripped the remote compile helper in round 2; l16
     # (d=1024) compiles and runs (+45% with int8, PERF.md). The env knob
     # lets h14 experiments re-open the gate without code edits.
@@ -2632,7 +2638,9 @@ fused_qkvo_attention.defvjp(_fused_qkvo_fwd, _fused_qkvo_bwd)
 # (mean 0, var 0) and its zero cotangent kills every gradient contribution.
 
 def _ln_qkvo_fwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, bo_ref,
-                        o_ref, *, eps, scale, seq_len, heads, head_dim, tile):
+                        o_ref, *, eps, scale, seq_len, heads, head_dim, tile,
+                        kv_heads=None):
+    kv_heads = kv_heads or heads
     spq = x_ref.shape[1]
     d = x_ref.shape[2]
     x = x_ref[:].reshape(tile * spq, d).astype(jnp.float32)
@@ -2654,8 +2662,9 @@ def _ln_qkvo_fwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, bo_ref,
     for t, h in ths:
         sl = slice(t * spq, (t + 1) * spq)
         o = h * head_dim
+        ko, _ = _kv_off(h, heads, kv_heads, head_dim)
         q = qkv[sl, o:o + head_dim]
-        k = qkv[sl, hhd + o:hhd + o + head_dim]
+        k = qkv[sl, ko:ko + head_dim]
         s = jax.lax.dot_general(q, k, _AB_T,
                                 preferred_element_type=jnp.float32) * scale
         if seq_len < spq:
@@ -2665,8 +2674,8 @@ def _ln_qkvo_fwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, bo_ref,
     outs = []
     for (t, h), p in zip(ths, pss):
         sl = slice(t * spq, (t + 1) * spq)
-        o = h * head_dim
-        v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
+        _, vo = _kv_off(h, heads, kv_heads, head_dim)
+        v = qkv[sl, vo:vo + head_dim]
         outs.append(jnp.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32
                             ).astype(xn.dtype))
@@ -2680,7 +2689,8 @@ def _ln_qkvo_fwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, bo_ref,
 
 def _ln_qkvo_fwd_int8_kernel(x_ref, g_ref, be_ref, w8_ref, sw_ref, b_ref,
                              wo8_ref, swo_ref, bo_ref, o_ref, *, eps, scale,
-                             seq_len, heads, head_dim, tile):
+                             seq_len, heads, head_dim, tile, kv_heads=None):
+    kv_heads = kv_heads or heads
     """int8 variant: the qkv and out projections run W8A8 on the int8 MXU
     (per-row activation / per-column weight dynamic quantization); the
     attention core (scores, softmax, PV) stays bf16/fp32."""
@@ -2705,8 +2715,9 @@ def _ln_qkvo_fwd_int8_kernel(x_ref, g_ref, be_ref, w8_ref, sw_ref, b_ref,
     for t, h in ths:
         sl = slice(t * spq, (t + 1) * spq)
         o = h * head_dim
+        ko, _ = _kv_off(h, heads, kv_heads, head_dim)
         q = qkv[sl, o:o + head_dim]
-        k = qkv[sl, hhd + o:hhd + o + head_dim]
+        k = qkv[sl, ko:ko + head_dim]
         s = jax.lax.dot_general(q, k, _AB_T,
                                 preferred_element_type=jnp.float32) * scale
         if seq_len < spq:
@@ -2716,8 +2727,8 @@ def _ln_qkvo_fwd_int8_kernel(x_ref, g_ref, be_ref, w8_ref, sw_ref, b_ref,
     outs = []
     for (t, h), p in zip(ths, pss):
         sl = slice(t * spq, (t + 1) * spq)
-        o = h * head_dim
-        v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
+        _, vo = _kv_off(h, heads, kv_heads, head_dim)
+        v = qkv[sl, vo:vo + head_dim]
         outs.append(jnp.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32))
     attn = jnp.concatenate(
@@ -2733,7 +2744,8 @@ def _ln_qkvo_fwd_int8_kernel(x_ref, g_ref, be_ref, w8_ref, sw_ref, b_ref,
 
 def _ln_qkvo_fwd_int4_kernel(x_ref, g_ref, be_ref, w4_ref, sw_ref, b_ref,
                              wo4_ref, swo_ref, bo_ref, o_ref, *, eps, scale,
-                             seq_len, heads, head_dim, tile):
+                             seq_len, heads, head_dim, tile, kv_heads=None):
+    kv_heads = kv_heads or heads
     """A4W4 variant of the int8 projection kernel: the qkv and out
     projections run on the int4 MXU path (probe-measured 1.32x the int8
     rate in a gridded kernel, scripts/int4_probe.py); the attention core
@@ -2761,8 +2773,9 @@ def _ln_qkvo_fwd_int4_kernel(x_ref, g_ref, be_ref, w4_ref, sw_ref, b_ref,
     for t, h in ths:
         sl = slice(t * spq, (t + 1) * spq)
         o = h * head_dim
+        ko, _ = _kv_off(h, heads, kv_heads, head_dim)
         q = qkv[sl, o:o + head_dim]
-        k = qkv[sl, hhd + o:hhd + o + head_dim]
+        k = qkv[sl, ko:ko + head_dim]
         s = jax.lax.dot_general(q, k, _AB_T,
                                 preferred_element_type=jnp.float32) * scale
         if seq_len < spq:
@@ -2772,8 +2785,8 @@ def _ln_qkvo_fwd_int4_kernel(x_ref, g_ref, be_ref, w4_ref, sw_ref, b_ref,
     outs = []
     for (t, h), p in zip(ths, pss):
         sl = slice(t * spq, (t + 1) * spq)
-        o = h * head_dim
-        v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
+        _, vo = _kv_off(h, heads, kv_heads, head_dim)
+        v = qkv[sl, vo:vo + head_dim]
         outs.append(jnp.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32))
     attn = jnp.concatenate(
@@ -2787,17 +2800,30 @@ def _ln_qkvo_fwd_int4_kernel(x_ref, g_ref, be_ref, w4_ref, sw_ref, b_ref,
     o_ref[:] = y.reshape(tile, spq, d)
 
 
+def _kv_off(h, heads, kv_heads, head_dim):
+    """(k, v) column offsets for query head h in the packed
+    [q (heads·hd) | k (kv_heads·hd) | v (kv_heads·hd)] qkv layout.
+    GQA (res-vit `repeat_kv`, res-vit/model_utils.py:3-12) maps query head
+    h to kv group h // (heads // kv_heads); kv_heads == heads degenerates
+    to the classic [q|k|v] thirds."""
+    g = h * kv_heads // heads
+    ko = heads * head_dim + g * head_dim
+    return ko, ko + kv_heads * head_dim
+
+
 def _attn_core_recompute(qkv, ths, spq, hhd, head_dim, scale, seq_len, col,
-                         tile, heads, dtype):
+                         tile, heads, dtype, kv_heads=None):
     """Staged scores -> softmaxes -> PVs for (tile x heads) pairs; returns
     (probs list, per-pair outs list, attn [tile*spq, hhd])."""
+    kv_heads = kv_heads or heads
     def sl(t):
         return slice(t * spq, (t + 1) * spq)
     ss = []
     for t, h in ths:
         o = h * head_dim
+        ko, _ = _kv_off(h, heads, kv_heads, head_dim)
         q = qkv[sl(t), o:o + head_dim]
-        k = qkv[sl(t), hhd + o:hhd + o + head_dim]
+        k = qkv[sl(t), ko:ko + head_dim]
         s = jax.lax.dot_general(q, k, _AB_T,
                                 preferred_element_type=jnp.float32) * scale
         if seq_len < spq:
@@ -2806,8 +2832,8 @@ def _attn_core_recompute(qkv, ths, spq, hhd, head_dim, scale, seq_len, col,
     ps = [_softmax_rows(s) for s in ss]
     outs = []
     for (t, h), p in zip(ths, ps):
-        o = h * head_dim
-        v = qkv[sl(t), 2 * hhd + o:2 * hhd + o + head_dim]
+        _, vo = _kv_off(h, heads, kv_heads, head_dim)
+        v = qkv[sl(t), vo:vo + head_dim]
         outs.append(jnp.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32
                             ).astype(dtype))
@@ -2818,14 +2844,19 @@ def _attn_core_recompute(qkv, ths, spq, hhd, head_dim, scale, seq_len, col,
 
 
 def _attn_core_grads(qkv, ps, outs, dattn, ths, spq, hhd, head_dim, scale,
-                     tile, heads, dtype):
-    """Staged attention-core gradients; returns dqkv [tile*spq, 3*hhd]."""
+                     tile, heads, dtype, kv_heads=None):
+    """Staged attention-core gradients; returns dqkv
+    [tile*spq, (heads+2*kv_heads)*head_dim]. With GQA (kv_heads < heads),
+    every query head in a kv group contributes to the SAME dk/dv slice —
+    accumulated in fp32 before the cast (the transpose of repeat_kv)."""
+    kv_heads = kv_heads or heads
     def sl(t):
         return slice(t * spq, (t + 1) * spq)
     dps = []
     for (t, h), p in zip(ths, ps):
         o = h * head_dim
-        v = qkv[sl(t), 2 * hhd + o:2 * hhd + o + head_dim]
+        _, vo = _kv_off(h, heads, kv_heads, head_dim)
+        v = qkv[sl(t), vo:vo + head_dim]
         do = dattn[sl(t), o:o + head_dim]
         dps.append(jax.lax.dot_general(do, v, _AB_T,
                                        preferred_element_type=jnp.float32))
@@ -2839,28 +2870,35 @@ def _attn_core_grads(qkv, ps, outs, dattn, ths, spq, hhd, head_dim, scale,
     dqs, dks, dvs = [], [], []
     for (t, h), p, ds in zip(ths, ps, dss):
         o = h * head_dim
+        ko, _ = _kv_off(h, heads, kv_heads, head_dim)
         q = qkv[sl(t), o:o + head_dim]
-        k = qkv[sl(t), hhd + o:hhd + o + head_dim]
+        k = qkv[sl(t), ko:ko + head_dim]
         do = dattn[sl(t), o:o + head_dim]
         dqs.append((jnp.dot(ds, k, preferred_element_type=jnp.float32)
                     * scale).astype(dtype))
-        dks.append((jax.lax.dot_general(ds, q, _AT_B,
-                                        preferred_element_type=jnp.float32)
-                    * scale).astype(dtype))
+        dks.append(jax.lax.dot_general(ds, q, _AT_B,
+                                       preferred_element_type=jnp.float32)
+                   * scale)
         dvs.append(jax.lax.dot_general(p.astype(do.dtype), do, _AT_B,
-                                       preferred_element_type=jnp.float32
-                                       ).astype(dtype))
-    return jnp.concatenate(
-        [jnp.concatenate(dqs[t * heads:(t + 1) * heads]
-                         + dks[t * heads:(t + 1) * heads]
-                         + dvs[t * heads:(t + 1) * heads], axis=-1)
-         for t in range(tile)], axis=0)
+                                       preferred_element_type=jnp.float32))
+    nrep = heads // kv_heads
+    rows = []
+    for t in range(tile):
+        ks = dks[t * heads:(t + 1) * heads]
+        vs = dvs[t * heads:(t + 1) * heads]
+        kg = [sum(ks[g * nrep + 1:(g + 1) * nrep], ks[g * nrep]
+                  ).astype(dtype) for g in range(kv_heads)]
+        vg = [sum(vs[g * nrep + 1:(g + 1) * nrep], vs[g * nrep]
+                  ).astype(dtype) for g in range(kv_heads)]
+        rows.append(jnp.concatenate(
+            dqs[t * heads:(t + 1) * heads] + kg + vg, axis=-1))
+    return jnp.concatenate(rows, axis=0)
 
 
 def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
                         dx_ref, dg_ref, dbe_ref, dw_ref, db_ref, dwo_ref,
                         dbo_ref, *, eps, scale, seq_len, heads, head_dim,
-                        tile):
+                        tile, kv_heads=None):
     """TILED over `tile` images per grid step (possible since the scoped
     VMEM limit was raised): the LN/qkv recompute, out-proj grads, dxn and
     dW matmuls all run on [tile*spq, ...] flats — MXU ops 'tile' times
@@ -2890,7 +2928,7 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
 
     ps, outs, attn = _attn_core_recompute(qkv, ths, spq, hhd, head_dim,
                                           scale, seq_len, col, tile, heads,
-                                          xn.dtype)
+                                          xn.dtype, kv_heads)
 
     dattn = jax.lax.dot_general(do_y, wo_ref[:], _AB_T,
                                 preferred_element_type=jnp.float32
@@ -2900,7 +2938,7 @@ def _ln_qkvo_bwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, do_ref,
     dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
 
     dqkv = _attn_core_grads(qkv, ps, outs, dattn, ths, spq, hhd, head_dim,
-                            scale, tile, heads, xn.dtype)
+                            scale, tile, heads, xn.dtype, kv_heads)
 
     dxn = jax.lax.dot_general(dqkv, w_ref[:], _AB_T,
                               preferred_element_type=jnp.float32)
@@ -2942,7 +2980,7 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
                              dx_ref, dg_ref, dbe_ref, dw_ref, db_ref,
                              dwo_ref, dbo_ref, *, eps, scale, seq_len,
                              heads, head_dim, tile, int8_dw=False,
-                             int4_grad=False):
+                             int4_grad=False, kv_heads=None):
     """int8 variant of the tiled backward: the qkv RECOMPUTE and both
     dL/dx-path projections (dattn = do Woᵀ, dxn = dqkv Wᵀ) run W8A8;
     the attention-core grads stay bf16 (SwitchBack precision split).
@@ -2985,7 +3023,7 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
 
     ps, outs, attn = _attn_core_recompute(qkv, ths, spq, hhd, head_dim,
                                           scale, seq_len, col, tile, heads,
-                                          xn.dtype)
+                                          xn.dtype, kv_heads)
 
     doq, sdo = _qr(do_y.astype(jnp.float32))
     dattn32 = jax.lax.dot_general(doq, wo8r_ref[:], (((1,), (1,)), ((), ())),
@@ -3015,7 +3053,7 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
     dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
 
     dqkv = _attn_core_grads(qkv, ps, outs, dattn, ths, spq, hhd, head_dim,
-                            scale, tile, heads, xn.dtype)
+                            scale, tile, heads, xn.dtype, kv_heads)
 
     dqkv32 = dqkv.astype(jnp.float32)
     dqq, sdq = _qr(dqkv32)
@@ -3069,11 +3107,11 @@ def _ln_qkvo_bwd_int8_kernel(x_ref, g_ref, be_ref, b_ref,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
 def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
                             eps, seq_len, heads, head_dim, int8=False,
                             int8_grad=False, int8_dw=False, int4=False,
-                            int4_grad=False):
+                            int4_grad=False, kv_heads=None):
     """LN + QKV projection + attention core + out-projection in one kernel.
     Takes the PRE-LN block input x [B,SPQ,D] (pad rows zero-filled);
     backward emits dx through the LN and accumulates dγ/dβ/dW/db/dWo/dbo.
@@ -3089,6 +3127,7 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
+    kvw = (heads + 2 * (kv_heads or heads)) * head_dim   # packed qkv width
     tile = _qkvo_tile(b, spq)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
@@ -3098,15 +3137,16 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
         return pl.pallas_call(
             functools.partial(_ln_qkvo_fwd_int4_kernel, eps=eps, scale=scale,
                               seq_len=seq_len, heads=heads,
-                              head_dim=head_dim, tile=tile),
+                              head_dim=head_dim, tile=tile,
+                              kv_heads=kv_heads),
             grid=(b // tile,),
             in_specs=[
                 pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 vec(d), vec(d),
-                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                pl.BlockSpec((d, kvw), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                vec(3 * hhd), vec(3 * hhd),
+                vec(kvw), vec(kvw),
                 pl.BlockSpec((hhd, d), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 vec(d), vec(d),
@@ -3123,15 +3163,16 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
         return pl.pallas_call(
             functools.partial(_ln_qkvo_fwd_int8_kernel, eps=eps, scale=scale,
                               seq_len=seq_len, heads=heads,
-                              head_dim=head_dim, tile=tile),
+                              head_dim=head_dim, tile=tile,
+                              kv_heads=kv_heads),
             grid=(b // tile,),
             in_specs=[
                 pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 vec(d), vec(d),
-                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                pl.BlockSpec((d, kvw), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                vec(3 * hhd), vec(3 * hhd),
+                vec(kvw), vec(kvw),
                 pl.BlockSpec((hhd, d), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 vec(d), vec(d),
@@ -3145,15 +3186,15 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
     return pl.pallas_call(
         functools.partial(_ln_qkvo_fwd_kernel, eps=eps, scale=scale,
                           seq_len=seq_len, heads=heads, head_dim=head_dim,
-                          tile=tile),
+                          tile=tile, kv_heads=kv_heads),
         grid=(b // tile,),
         in_specs=[
             pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(d), vec(d),
-            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+            pl.BlockSpec((d, kvw), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            vec(3 * hhd),
+            vec(kvw),
             pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             vec(d),
         ],
@@ -3168,10 +3209,11 @@ def fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
 def _fused_ln_qkvo_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
                        eps, seq_len, heads, head_dim, int8=False,
                        int8_grad=False, int8_dw=False, int4=False,
-                       int4_grad=False):
+                       int4_grad=False, kv_heads=None):
     out = fused_ln_qkvo_attention(x, gamma, beta, wqkv, bqkv, wo, bo,
                                   eps, seq_len, heads, head_dim, int8,
-                                  int8_grad, int8_dw, int4, int4_grad)
+                                  int8_grad, int8_dw, int4, int4_grad,
+                                  kv_heads)
     return out, (x, gamma, beta, wqkv, bqkv, wo)
 
 
@@ -3188,7 +3230,7 @@ def _qkvo_bwd_tile(b: int, spq: int = 256) -> int:
 
 
 def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
-                       int8_dw, int4, int4_grad, res, do):
+                       int8_dw, int4, int4_grad, kv_heads, res, do):
     # int4 applies to the forward projections; the backward follows the
     # int8_grad/int8_dw tiers unless int4_grad opts the recompute +
     # dattn/dxn projections into A4W4 as well (dW/dWo stay >=8-bit; the
@@ -3197,6 +3239,7 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
     scale = 1.0 / math.sqrt(head_dim)
     b, spq, d = x.shape
     hhd = heads * head_dim
+    kvw = (heads + 2 * (kv_heads or heads)) * head_dim
     tile = _qkvo_bwd_tile(b, spq)
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
@@ -3210,17 +3253,18 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
             functools.partial(_ln_qkvo_bwd_int8_kernel, eps=eps, scale=scale,
                               seq_len=seq_len, heads=heads,
                               head_dim=head_dim, tile=tile,
-                              int8_dw=int8_dw, int4_grad=int4_grad),
+                              int8_dw=int8_dw, int4_grad=int4_grad,
+                              kv_heads=kv_heads),
             grid=(b // tile,),
             in_specs=[
                 pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 vec(d), vec(d),
-                vec(3 * hhd),
-                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                vec(kvw),
+                pl.BlockSpec((d, kvw), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                vec(3 * hhd),
-                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                vec(kvw),
+                pl.BlockSpec((d, kvw), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 vec(d),
                 pl.BlockSpec((hhd, d), lambda i: (0, 0),
@@ -3233,9 +3277,9 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
                 pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 vec(d), vec(d),
-                pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                pl.BlockSpec((d, kvw), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                vec(3 * hhd),
+                vec(kvw),
                 pl.BlockSpec((hhd, d), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 vec(d),
@@ -3243,8 +3287,8 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
             out_shape=(jax.ShapeDtypeStruct((b, spq, d), x.dtype),
                        jax.ShapeDtypeStruct((d,), jnp.float32),
                        jax.ShapeDtypeStruct((d,), jnp.float32),
-                       jax.ShapeDtypeStruct((d, 3 * hhd), jnp.float32),
-                       jax.ShapeDtypeStruct((3 * hhd,), jnp.float32),
+                       jax.ShapeDtypeStruct((d, kvw), jnp.float32),
+                       jax.ShapeDtypeStruct((kvw,), jnp.float32),
                        jax.ShapeDtypeStruct((hhd, d), jnp.float32),
                        jax.ShapeDtypeStruct((d,), jnp.float32)),
             interpret=_INTERPRET,
@@ -3256,15 +3300,15 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
     dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
         functools.partial(_ln_qkvo_bwd_kernel, eps=eps, scale=scale,
                           seq_len=seq_len, heads=heads, head_dim=head_dim,
-                          tile=tile),
+                          tile=tile, kv_heads=kv_heads),
         grid=(b // tile,),
         in_specs=[
             pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(d), vec(d),
-            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+            pl.BlockSpec((d, kvw), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            vec(3 * hhd),
+            vec(kvw),
             pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -3273,17 +3317,17 @@ def _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, int8, int8_grad,
             pl.BlockSpec((tile, spq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(d), vec(d),
-            pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+            pl.BlockSpec((d, kvw), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            vec(3 * hhd),
+            vec(kvw),
             pl.BlockSpec((hhd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             vec(d),
         ),
         out_shape=(jax.ShapeDtypeStruct((b, spq, d), x.dtype),
                    jax.ShapeDtypeStruct((d,), jnp.float32),
                    jax.ShapeDtypeStruct((d,), jnp.float32),
-                   jax.ShapeDtypeStruct((d, 3 * hhd), jnp.float32),
-                   jax.ShapeDtypeStruct((3 * hhd,), jnp.float32),
+                   jax.ShapeDtypeStruct((d, kvw), jnp.float32),
+                   jax.ShapeDtypeStruct((kvw,), jnp.float32),
                    jax.ShapeDtypeStruct((hhd, d), jnp.float32),
                    jax.ShapeDtypeStruct((d,), jnp.float32)),
         interpret=_INTERPRET,
@@ -3335,6 +3379,7 @@ def _ln_qkvo_fwd_int8_ho_kernel(x_ref, xq_ref, sx_ref, g2_ref, be2_ref,
     LN2(r1) quantized for the MLP kernel. The epilogue quantizes the
     bf16-ROUNDED r1 so the consumer sees exactly the values it would have
     computed from r1 itself."""
+    kv_heads = heads  # handoff path is plain-ViT only (no GQA)
     spq = x_ref.shape[1]
     d = x_ref.shape[2]
     nrows = tile * spq
@@ -3351,8 +3396,9 @@ def _ln_qkvo_fwd_int8_ho_kernel(x_ref, xq_ref, sx_ref, g2_ref, be2_ref,
     for t, h in ths:
         sl = slice(t * spq, (t + 1) * spq)
         o = h * head_dim
+        ko, _ = _kv_off(h, heads, kv_heads, head_dim)
         q = qkv[sl, o:o + head_dim]
-        k = qkv[sl, hhd + o:hhd + o + head_dim]
+        k = qkv[sl, ko:ko + head_dim]
         s = jax.lax.dot_general(q, k, _AB_T,
                                 preferred_element_type=jnp.float32) * scale
         if seq_len < spq:
@@ -3362,8 +3408,8 @@ def _ln_qkvo_fwd_int8_ho_kernel(x_ref, xq_ref, sx_ref, g2_ref, be2_ref,
     outs = []
     for (t, h), p in zip(ths, pss):
         sl = slice(t * spq, (t + 1) * spq)
-        o = h * head_dim
-        v = qkv[sl, 2 * hhd + o:2 * hhd + o + head_dim]
+        _, vo = _kv_off(h, heads, kv_heads, head_dim)
+        v = qkv[sl, vo:vo + head_dim]
         outs.append(jnp.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32))
     attn = jnp.concatenate(
@@ -3428,6 +3474,7 @@ def _qkvo_ho_fwd_call(x, xq, sx, g2, be2, wqkv, bqkv, wo, bo,
                       eps, seq_len, heads, head_dim):
     b, spq, d = x.shape
     hhd = heads * head_dim
+    kvw = 3 * hhd    # handoff path is plain-ViT only (no GQA)
     tile = _qkvo_tile(b, spq)
     scale = 1.0 / math.sqrt(head_dim)
     w8, sw = _quant_cols_host(wqkv)
@@ -3442,9 +3489,9 @@ def _qkvo_ho_fwd_call(x, xq, sx, g2, be2, wqkv, bqkv, wo, bo,
                           tile=tile),
         grid=(b // tile,),
         in_specs=[t3(d), t3(d), t3(_HO_SCALE_LANES), vec(d), vec(d),
-                  pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                  pl.BlockSpec((d, kvw), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  vec(3 * hhd), vec(3 * hhd),
+                  vec(kvw), vec(kvw),
                   pl.BlockSpec((hhd, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   vec(d), vec(d)],
@@ -3566,7 +3613,7 @@ def _block_ho_bwd(eps, seq_len, heads, head_dim, int8_dw, res, cts):
     # attention half: forward was r1 = x + attn(x); the qkvo backward
     # kernel produces d(attn)/dx through LN1 — add the residual identity
     datt = _fused_ln_qkvo_bwd(eps, seq_len, heads, head_dim, True, True,
-                              int8_dw, False, False,
+                              int8_dw, False, False, None,
                               (x, g1, be1, wqkv, bqkv, wo), dr1)
     dx_att, dg1, dbe1, dwqkv, dbqkv, dwo, dbo = datt
     dx = dx_att + dr1
