@@ -3342,6 +3342,304 @@ fused_ln_qkvo_attention.defvjp(_fused_ln_qkvo_fwd, _fused_ln_qkvo_bwd)
 
 
 # =============================================================================
+# KV-blocked (online-softmax) flash attention half — big-d geometries
+#
+# The whole-seq kernels above hold every (tile, head) pair's [spq, spq]
+# fp32 probabilities in VMEM, which is what gates h14 (d=1280, s=736 @384)
+# off the fused path (VERDICT r4 #6). These variants never materialize the
+# full probability matrix: the forward runs the standard flash-attention
+# recurrence (blockwise over KV with running row max m and normalizer l),
+# and the backward recomputes m/l in a first chunked pass, then forms the
+# per-chunk probabilities again for dq/dk/dv — all O(spq·ckv) VMEM.
+# LN + qkv projection + out-projection stay fused exactly like the
+# whole-seq kernel (dγ/dβ/dW/db/dWo/dbo accumulate across the grid).
+# Reference math being reproduced: src/model.py:94-96 (scores/softmax/PV)
+# at the h14 preset src/config.py:95-104.
+# =============================================================================
+
+_QKVO_FLASH_KV = int(_os.environ.get("VITAX_QKVO_FLASH_KV", 4))
+
+
+def qkv_attention_flash_supported(xhat, wqkv) -> bool:
+    """Geometries the KV-blocked kernel serves (notably d=1280/h14, which
+    the whole-seq gate rejects)."""
+    if xhat.ndim != 3 or wqkv.ndim != 2:
+        return False
+    b, s, d = xhat.shape
+    if wqkv.shape[0] != d or wqkv.shape[1] % 3:
+        return False
+    hhd = wqkv.shape[1] // 3
+    max_d = int(_os.environ.get("VITAX_QKVO_FLASH_MAX_D", "1536"))
+    spq = (s + 7) // 8 * 8
+    if s > 1024 or d > max_d or hhd > max_d or d % 128 or spq % 8:
+        return False
+    # weights + fp32 dW/dWo accumulators + whole-row qkv activations (the
+    # only seq-sized tensors; probs are chunked)
+    weights = 2 * d * 3 * hhd + 2 * hhd * d
+    accum = 4 * d * 3 * hhd + 4 * hhd * d
+    act = spq * 3 * hhd * 6 + spq * d * 10
+    return weights + accum + act <= 88 * 1024 * 1024
+
+
+def _flash_chunks(spq: int) -> int:
+    n = _QKVO_FLASH_KV
+    while n > 1 and (spq % n or (spq // n) % 8):
+        n -= 1
+    return max(n, 1)
+
+
+def _flash_head_fwd(q, qkv, o, hhd, head_dim, spq, scale, seq_len, n_kv,
+                    want_stats=False):
+    """Online-softmax recurrence for ONE head; q [spq, hd] bf16.
+    Returns out [spq, hd] fp32 (and (m, l) when want_stats)."""
+    ckv = spq // n_kv
+    m = jnp.full((spq, 1), -1e30, jnp.float32)
+    l = jnp.zeros((spq, 1), jnp.float32)
+    acc = jnp.zeros((spq, head_dim), jnp.float32)
+    for c in range(n_kv):
+        lo = c * ckv
+        ks = qkv[lo:lo + ckv, hhd + o:hhd + o + head_dim]
+        s_c = jax.lax.dot_general(q, ks, _AB_T,
+                                  preferred_element_type=jnp.float32) * scale
+        if seq_len < spq and lo + ckv > seq_len:
+            col = jax.lax.broadcasted_iota(jnp.int32, (spq, ckv), 1) + lo
+            s_c = jnp.where(col < seq_len, s_c, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s_c, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s_c - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        vs = qkv[lo:lo + ckv, 2 * hhd + o:2 * hhd + o + head_dim]
+        acc = acc * alpha + jnp.dot(p.astype(vs.dtype), vs,
+                                    preferred_element_type=jnp.float32)
+        m = m_new
+    out = acc / l
+    return (out, m, l) if want_stats else out
+
+
+def _ln_qkvo_fwd_flash_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref,
+                              bo_ref, o_ref, *, eps, scale, seq_len, heads,
+                              head_dim, n_kv):
+    spq = x_ref.shape[1]
+    d = x_ref.shape[2]
+    x = x_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xhat = xc * jax.lax.rsqrt(var + eps)
+    xn = (xhat * g_ref[:].astype(jnp.float32)
+          + be_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    qkv = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(xn.dtype)
+    hhd = heads * head_dim
+    outs = []
+    for h in range(heads):
+        o = h * head_dim
+        q = qkv[:, o:o + head_dim]
+        outs.append(_flash_head_fwd(q, qkv, o, hhd, head_dim, spq, scale,
+                                    seq_len, n_kv).astype(xn.dtype))
+    attn = jnp.concatenate(outs, axis=-1)
+    y = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+    y = (y + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[0] = y
+
+
+def _ln_qkvo_bwd_flash_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref,
+                              do_ref, dx_ref, dg_ref, dbe_ref, dw_ref,
+                              db_ref, dwo_ref, dbo_ref, *, eps, scale,
+                              seq_len, heads, head_dim, n_kv):
+    i = pl.program_id(0)
+    spq = x_ref.shape[1]
+    d_model = x_ref.shape[2]
+    x = x_ref[0].astype(jnp.float32)
+    do_y = do_ref[0]
+    g32 = g_ref[:].astype(jnp.float32)
+
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    xn = (xhat * g32 + be_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    qkv = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(xn.dtype)
+    hhd = heads * head_dim
+    ckv = spq // n_kv
+
+    dattn = jax.lax.dot_general(do_y, wo_ref[:], _AB_T,
+                                preferred_element_type=jnp.float32
+                                ).astype(xn.dtype)
+    dqs, dks, dvs, outs = [], [], [], []
+    for h in range(heads):
+        o = h * head_dim
+        q = qkv[:, o:o + head_dim]
+        out_h, m, l = _flash_head_fwd(q, qkv, o, hhd, head_dim, spq, scale,
+                                      seq_len, n_kv, want_stats=True)
+        outs.append(out_h.astype(xn.dtype))
+        do_h = dattn[:, o:o + head_dim]
+        dd = jnp.sum(do_h.astype(jnp.float32) * out_h, axis=-1,
+                     keepdims=True)
+        dq = jnp.zeros((spq, head_dim), jnp.float32)
+        dk_cs, dv_cs = [], []
+        for c in range(n_kv):
+            lo = c * ckv
+            ks = qkv[lo:lo + ckv, hhd + o:hhd + o + head_dim]
+            vs = qkv[lo:lo + ckv, 2 * hhd + o:2 * hhd + o + head_dim]
+            s_c = jax.lax.dot_general(q, ks, _AB_T,
+                                      preferred_element_type=jnp.float32
+                                      ) * scale
+            if seq_len < spq and lo + ckv > seq_len:
+                col = (jax.lax.broadcasted_iota(jnp.int32, (spq, ckv), 1)
+                       + lo)
+                s_c = jnp.where(col < seq_len, s_c, -1e30)
+            p = jnp.exp(s_c - m) / l
+            pb = p.astype(xn.dtype)
+            dp = jax.lax.dot_general(do_h, vs, _AB_T,
+                                     preferred_element_type=jnp.float32)
+            ds = (p * (dp - dd)).astype(xn.dtype)
+            dq = dq + jnp.dot(ds, ks,
+                              preferred_element_type=jnp.float32) * scale
+            dk_cs.append(jax.lax.dot_general(ds, q, _AT_B,
+                                             preferred_element_type=jnp.float32
+                                             ) * scale)
+            dv_cs.append(jax.lax.dot_general(pb, do_h, _AT_B,
+                                             preferred_element_type=jnp.float32))
+        dqs.append(dq.astype(xn.dtype))
+        dks.append(jnp.concatenate(dk_cs, axis=0).astype(xn.dtype))
+        dvs.append(jnp.concatenate(dv_cs, axis=0).astype(xn.dtype))
+    attn = jnp.concatenate(outs, axis=-1)
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+    dwo_part = jax.lax.dot_general(attn, do_y, _AT_B,
+                                   preferred_element_type=jnp.float32)
+    dbo_part = jnp.sum(do_y.astype(jnp.float32), axis=0)
+    dxn = jax.lax.dot_general(dqkv, w_ref[:], _AB_T,
+                              preferred_element_type=jnp.float32)
+    dyg = dxn * g32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dyg - m1 - xhat * m2)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    dg_part = jnp.sum(dxn * xhat, axis=0)
+    dbe_part = jnp.sum(dxn, axis=0)
+    dw_part = jax.lax.dot_general(xn, dqkv, _AT_B,
+                                  preferred_element_type=jnp.float32)
+    db_part = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg_part
+        dbe_ref[:] = dbe_part
+        dw_ref[:] = dw_part
+        db_ref[:] = db_part
+        dwo_ref[:] = dwo_part
+        dbo_ref[:] = dbo_part
+
+    @pl.when(i > 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_part
+        dbe_ref[:] = dbe_ref[:] + dbe_part
+        dw_ref[:] = dw_ref[:] + dw_part
+        db_ref[:] = db_ref[:] + db_part
+        dwo_ref[:] = dwo_ref[:] + dwo_part
+        dbo_ref[:] = dbo_ref[:] + dbo_part
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_ln_qkvo_attention_flash(x, gamma, beta, wqkv, bqkv, wo, bo,
+                                  eps, seq_len, heads, head_dim):
+    """KV-blocked flash variant of fused_ln_qkvo_attention (bf16 tier):
+    identical math (same LN/projection/out-proj fusion and grad
+    accumulation), online-softmax core — serves d=1280/h14 which the
+    whole-seq kernel cannot. Forward output matches the whole-seq kernel
+    to fp32 ulps (the softmax is computed as exp(s−m)/l instead of the
+    one-pass row softmax)."""
+    return _qkvo_flash_fwd_call(x, gamma, beta, wqkv, bqkv, wo, bo,
+                                eps, seq_len, heads, head_dim)
+
+
+def _qkvo_flash_fwd_call(x, gamma, beta, wqkv, bqkv, wo, bo,
+                         eps, seq_len, heads, head_dim):
+    b, spq, d = x.shape
+    hhd = heads * head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    t3 = pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_qkvo_fwd_flash_kernel, eps=eps, scale=scale,
+                          seq_len=seq_len, heads=heads, head_dim=head_dim,
+                          n_kv=_flash_chunks(spq)),
+        grid=(b,),
+        in_specs=[t3, vec(d), vec(d),
+                  pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(3 * hhd),
+                  pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(d)],
+        out_specs=t3,
+        out_shape=jax.ShapeDtypeStruct((b, spq, d), x.dtype),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x, gamma, beta, wqkv, bqkv, wo, bo)
+
+
+def _fused_flash_fwd(x, gamma, beta, wqkv, bqkv, wo, bo,
+                     eps, seq_len, heads, head_dim):
+    out = _qkvo_flash_fwd_call(x, gamma, beta, wqkv, bqkv, wo, bo,
+                               eps, seq_len, heads, head_dim)
+    return out, (x, gamma, beta, wqkv, bqkv, wo)
+
+
+def _fused_flash_bwd(eps, seq_len, heads, head_dim, res, do):
+    x, gamma, beta, wqkv, bqkv, wo = res
+    b, spq, d = x.shape
+    hhd = heads * head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    t3 = pl.BlockSpec((1, spq, d), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    dx, dg, dbe, dw, db, dwo, dbo = pl.pallas_call(
+        functools.partial(_ln_qkvo_bwd_flash_kernel, eps=eps, scale=scale,
+                          seq_len=seq_len, heads=heads, head_dim=head_dim,
+                          n_kv=_flash_chunks(spq)),
+        grid=(b,),
+        in_specs=[t3, vec(d), vec(d),
+                  pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec(3 * hhd),
+                  pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  t3],
+        out_specs=(t3, vec(d), vec(d),
+                   pl.BlockSpec((d, 3 * hhd), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   vec(3 * hhd),
+                   pl.BlockSpec((hhd, d), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   vec(d)),
+        out_shape=(jax.ShapeDtypeStruct((b, spq, d), x.dtype),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32),
+                   jax.ShapeDtypeStruct((d, 3 * hhd), jnp.float32),
+                   jax.ShapeDtypeStruct((3 * hhd,), jnp.float32),
+                   jax.ShapeDtypeStruct((hhd, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d,), jnp.float32)),
+        interpret=_INTERPRET,
+        **_VMEM_LIMIT,
+    )(x, gamma, beta, wqkv, bqkv, wo, do)
+    return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw.astype(wqkv.dtype), db.astype(bqkv.dtype),
+            dwo.astype(wo.dtype), dbo)
+
+
+fused_ln_qkvo_attention_flash.defvjp(_fused_flash_fwd, _fused_flash_bwd)
+
+
+# =============================================================================
 # Cross-kernel int8 activation handoff (VERDICT r4 #1)
 #
 # In the int8 forward, both block-half kernels pay a per-row input
