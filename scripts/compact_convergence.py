@@ -26,7 +26,14 @@ STEPS = int(os.environ.get("CC_STEPS", "300"))
 BATCH = int(os.environ.get("CC_BATCH", "64"))
 
 
-def run(tag, compact_warmup=0, **over):
+def run(tag, compact_warmup=0, cap_schedule=None, **over):
+    # cap_schedule=(cap_hi, switch_frac): anneal capacity — first
+    # switch_frac of steps at cap_hi (slack above the target), then the
+    # target capacity. Round-5 spike fix candidate (VERDICT r4 #5): the
+    # C=0.5 router-shift spike recovers only to 0.77 while C=0.625
+    # recovers fully; starting WITH slack and dropping to 0.5 after the
+    # router stabilizes should keep the 2147 img/s capacity with the
+    # 0.625 convergence.
     def mkcfg(**kw):
         return resvit_arch_config(
             "b16", image_size=224, num_classes=10, dtype=jnp.bfloat16,
@@ -51,6 +58,13 @@ def run(tag, compact_warmup=0, **over):
         wcfg = mkcfg(**{**over, "compact_capacity": None})
         warm_step = make_train_step(wcfg, tx, Lambdas(1.0, 10.0, 1.0),
                                     donate=False)
+    hi_step, cap_switch = None, 0
+    if cap_schedule is not None:
+        cap_hi, switch_frac = cap_schedule
+        cap_switch = int(switch_frac * STEPS)
+        hcfg = mkcfg(**{**over, "compact_capacity": cap_hi})
+        hi_step = make_train_step(hcfg, tx, Lambdas(1.0, 10.0, 1.0),
+                                  donate=False)
 
     key = jax.random.PRNGKey(42)
     protos = jax.random.normal(key, (10, 224, 224, 3), jnp.bfloat16)
@@ -79,8 +93,11 @@ def run(tag, compact_warmup=0, **over):
     losses, eaccs, ratios, maxrates = [], [], [], []
     for s in range(STEPS):
         img, lab = batches[s % 8]
-        fn = warm_step if (warm_step is not None
-                           and s < compact_warmup) else step
+        fn = step
+        if warm_step is not None and s < compact_warmup:
+            fn = warm_step
+        elif hi_step is not None and s < cap_switch:
+            fn = hi_step
         state, metrics = fn(state, img, lab)
         if s % 50 == 49:
             losses.append(float(metrics["loss"]))
@@ -113,7 +130,14 @@ elif cc_int4 == "fwd":
 if os.environ.get("CC_TOKKEEP"):
     EXTRA["token_keep"] = float(os.environ["CC_TOKKEEP"])
     TAG += f"-tk{EXTRA['token_keep']}"
+SCHED = os.environ.get("CC_CAP_SCHEDULE")  # e.g. "0.625@0.4"
 l_d, a_d = run("dense")
+if SCHED:
+    hi, frac = SCHED.split("@")
+    for cap in CAPS:
+        run(f"capsched-{hi}to{cap}@{frac}-w{WARMUP}{TAG}",
+            compact_capacity=cap, compact_warmup=WARMUP,
+            cap_schedule=(float(hi), float(frac)), **EXTRA)
 for cap in CAPS:
     l_c, a_c = run(f"compact-{cap}-w{WARMUP}{TAG}", compact_capacity=cap,
                    compact_warmup=WARMUP, **EXTRA)

@@ -381,3 +381,45 @@ def test_compact_overflow_cli_plumbing(tmp_path):
     assert config_to_model_args(
         get_train_config(base + ["--compact-overflow", "identity"])
     ).compact_demote_overflow is False
+
+
+def test_capacity_anneal_cli_smoke(tmp_path):
+    """Round-5 spike fix: --compact-capacity-start/--compact-capacity-anneal
+    run a slack-capacity phase between the dense warmup and the target
+    capacity (3 jitted steps share one state; smoke: all three execute)."""
+    from vitax import resvit_train_cli
+    best = resvit_train_cli.main(
+        ["--dataset", "Synthetic", "--model-arch", "tiny",
+         "--image-size", "32", "--batch-size", "8",
+         "--synthetic-samples", "32", "--train-steps", "12",
+         "--print-freq", "4", "--lr", "0.001", "--warmup-steps", "2",
+         "--num-workers", "0", "--dtype", "float32", "--no-pallas",
+         "--use_lora", "False", "--use_reslr", "True",
+         "--dynamic_start_layer", "1", "--block_size", "1",
+         "--dynamic_router_hdim", "32", "--low_rank_dim", "8",
+         "--n_heads", "3", "--n_kv_heads", "3",
+         "--compact-capacity", "0.5", "--compact-warmup", "4",
+         "--compact-capacity-start", "0.75",
+         "--compact-capacity-anneal", "4",
+         "--exp-name", "ca", "--exp-root", str(tmp_path)])
+    assert 0.0 <= best <= 1.0
+
+
+def test_capacity_anneal_validates(tmp_path):
+    import pytest as _pytest
+
+    from vitax import resvit_train_cli
+    with _pytest.raises(ValueError, match="compact-capacity-start"):
+        resvit_train_cli.main(
+            ["--dataset", "Synthetic", "--model-arch", "tiny",
+             "--image-size", "32", "--batch-size", "8",
+             "--synthetic-samples", "32", "--train-steps", "8",
+             "--num-workers", "0", "--dtype", "float32", "--no-pallas",
+             "--use_lora", "False", "--use_reslr", "True",
+             "--dynamic_start_layer", "1", "--block_size", "1",
+             "--dynamic_router_hdim", "32", "--low_rank_dim", "8",
+             "--n_heads", "3", "--n_kv_heads", "3",
+             "--compact-capacity", "0.75", "--compact-warmup", "2",
+             "--compact-capacity-start", "0.5",
+             "--compact-capacity-anneal", "2",
+             "--exp-name", "cav", "--exp-root", str(tmp_path)])

@@ -153,6 +153,22 @@ def get_train_config(argv=None):
                         "routed layers runs only on the top-ceil(C*N) "
                         "tokens ranked active-first (exact vs the dense "
                         "path while the active set fits)")
+    p.add_argument("--compact-capacity-start", type=float, default=None,
+                   metavar="C_HI",
+                   help="capacity ANNEAL (round-5 spike fix): run the "
+                        "first --compact-capacity-anneal steps at this "
+                        "higher capacity (slack above the target), then "
+                        "drop to --compact-capacity. Capacity slack is the "
+                        "measured mitigation for the router-shift distill "
+                        "spike (C=0.625 recovers to dense parity where "
+                        "C=0.5 does not — PERF.md); annealing keeps the "
+                        "C=0.5 steady-state throughput with the slack "
+                        "phase's convergence")
+    p.add_argument("--compact-capacity-anneal", type=int, default=0,
+                   metavar="STEPS",
+                   help="steps spent at --compact-capacity-start before "
+                        "dropping to the target capacity (after the "
+                        "--compact-warmup dense phase)")
     p.add_argument("--compact-overflow", type=str, default="demote",
                    choices=["demote", "identity"],
                    help="overflowing active tokens take the low-rank "
@@ -356,6 +372,22 @@ def main(argv=None):
         warm_train_step = make_train_step(
             _dc.replace(cfg, compact_capacity=None), tx, lambdas,
             donate=True)
+    hi_train_step = None
+    cap_anneal_until = 0
+    cap_hi = getattr(config, "compact_capacity_start", None)
+    cap_anneal = getattr(config, "compact_capacity_anneal", 0) or 0
+    if cfg.compact_capacity is not None and cap_hi and cap_anneal > 0:
+        if cap_hi < cfg.compact_capacity:
+            raise ValueError("--compact-capacity-start must be >= "
+                             "--compact-capacity (it is the slack phase)")
+        import dataclasses as _dc
+        hi_train_step = make_train_step(
+            _dc.replace(cfg, compact_capacity=cap_hi), tx, lambdas,
+            donate=True)
+        cap_anneal_until = compact_warmup + cap_anneal
+        print(f"capacity anneal: C={cap_hi} for steps "
+              f"{compact_warmup}..{cap_anneal_until - 1}, then "
+              f"C={cfg.compact_capacity}")
     eval_step = make_eval_step(cfg, lambdas)
 
     writer = ExperimentWriter(
@@ -376,9 +408,11 @@ def main(argv=None):
                 continue
             images = jnp.asarray(batch.images, cfg.dtype)
             labels = jnp.asarray(batch.labels)
-            fn = (warm_train_step
-                  if warm_train_step is not None
-                  and steps_done < compact_warmup else train_step)
+            fn = train_step
+            if warm_train_step is not None and steps_done < compact_warmup:
+                fn = warm_train_step
+            elif hi_train_step is not None and steps_done < cap_anneal_until:
+                fn = hi_train_step
             if dense_step is not None and epoch >= dense_from_epoch:
                 fn = dense_step
             state, metrics = fn(state, images, labels)
