@@ -23,6 +23,9 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=192)
+    ap.add_argument("--arch", type=str, default="b16",
+                    help="arch preset (b16/b32/l16/l32/h14)")
+    ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--no-int8-dw", action="store_true")
@@ -51,8 +54,8 @@ def main():
                   int8_attn_grad=True, int8_dw=not args.no_int8_dw,
                   int4_mlp=args.int4 or args.int4_grad,
                   int4_attn=args.int4_attn, int4_grad=args.int4_grad)
-    cfg = arch_config("b16", image_size=224, num_classes=100,
-                      dtype=jnp.bfloat16, use_pallas=False,
+    cfg = arch_config(args.arch, image_size=args.image_size,
+                      num_classes=100, dtype=jnp.bfloat16, use_pallas=False,
                       token_keep=args.token_keep, **kw)
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     total_steps = 15000
@@ -62,7 +65,9 @@ def main():
                                             pct_start=500 / total_steps))
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
     key = jax.random.PRNGKey(2)
-    images = jax.random.normal(key, (args.batch, 224, 224, 3), jnp.bfloat16)
+    images = jax.random.normal(
+        key, (args.batch, args.image_size, args.image_size, 3),
+        jnp.bfloat16)
     labels = jax.random.randint(jax.random.fold_in(key, 1),
                                 (args.batch,), 0, 100)
     train_step = make_train_step(cfg, tx, donate=True)
@@ -78,7 +83,8 @@ def main():
         "img_per_sec": round(args.batch * args.steps / dt, 1),
         "ms_per_step": round(dt / args.steps * 1e3, 2),
         "loss": round(loss, 4),
-        "batch": args.batch,
+        "batch": args.batch, "arch": args.arch,
+        "image_size": args.image_size,
         "token_keep": args.token_keep,
         "env": {k: v for k, v in os.environ.items()
                 if k.startswith("VITAX_")},
