@@ -38,6 +38,9 @@ def main():
                     help="A4W4 int4 qkv/out-projection forward too")
     ap.add_argument("--int4-grad", action="store_true",
                     help="A4W4 int4 backward dx-path in the fused MLP too")
+    ap.add_argument("--remat", type=str, default=None,
+                    choices=["none", "selective", "full"],
+                    help="override remat (default none like the bench)")
     ap.add_argument("--token-keep", type=float, default=1.0,
                     help="PatchDropout/FLIP token-drop keep ratio (train)")
     args = ap.parse_args()
@@ -47,7 +50,9 @@ def main():
     from vitax.train import (create_train_state, make_train_step,
                              onecycle_lr, onecycle_momentum, sgd_momentum)
 
-    kw = dict(fused_qkv=True, fused_mlp=True, remat=False,
+    remat = {None: False, "none": False, "full": True,
+             "selective": "selective"}[args.remat]
+    kw = dict(fused_qkv=True, fused_mlp=True, remat=remat,
               fused_mlp_save=args.save_acts)
     if not args.bf16:
         kw.update(int8_mlp=True, int8_attn=True, int8_mlp_grad=True,
