@@ -46,7 +46,9 @@ def run(tag, compact_warmup=0, cap_schedule=None, **over):
     cfg = mkcfg(**over)
     params = resvit.init_params(jax.random.PRNGKey(0), cfg)
     tx = make_adamw_for(cfg, params, cosine_with_warmup_lr(1e-4, 30, STEPS),
-                        clip_grad_norm=1.0)
+                        clip_grad_norm=1.0,
+                        router_lr_scale=float(
+                            os.environ.get("CC_ROUTER_LR", "1.0")))
     state = create_state(params, tx, jax.random.PRNGKey(1))
     step = make_train_step(cfg, tx, Lambdas(1.0, 10.0, 1.0), donate=True)
     # dense warmup: train WITHOUT compaction for the first N steps so the

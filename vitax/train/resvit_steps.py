@@ -127,12 +127,26 @@ def make_eval_step(cfg: ResViTConfig, lambdas: Lambdas = Lambdas()):
 def make_adamw_for(cfg: ResViTConfig, params: Any, lr_schedule,
                    betas=(0.9, 0.999), eps: float = 1e-8,
                    weight_decay: float = 0.05,
-                   clip_grad_norm: Optional[float] = 1.0
+                   clip_grad_norm: Optional[float] = 1.0,
+                   router_lr_scale: float = 1.0
                    ) -> optax.GradientTransformation:
     """AdamW with LoRA trainable-mask (res-vit/train.py:272-277 builds the
-    optimizer over `filter(requires_grad)`)."""
+    optimizer over `filter(requires_grad)`).
+
+    `router_lr_scale` (round-5 compact-training lever): scale the ROUTER
+    params' effective learning rate. Compact training's transient loss
+    spikes are router keep-pattern MIGRATIONS meeting capacity demotion
+    (PERF.md); slowing the router's drift shrinks the per-step demotion
+    mass without touching the rest of the recipe."""
     from vitax.train.optim import adamw
     mask = resvit.trainable_mask(params, cfg) if cfg.use_lora else None
-    return adamw(lr_schedule, betas=betas, eps=eps,
-                 weight_decay=weight_decay, clip_grad_norm=clip_grad_norm,
-                 mask=mask)
+    tx = adamw(lr_schedule, betas=betas, eps=eps,
+               weight_decay=weight_decay, clip_grad_norm=clip_grad_norm,
+               mask=mask)
+    if router_lr_scale != 1.0:
+        def _mark(path, _):
+            return any(getattr(k, "key", None) == "router" for k in path)
+        rmask = jax.tree_util.tree_map_with_path(_mark, params)
+        tx = optax.chain(tx, optax.masked(
+            optax.scale(router_lr_scale), rmask))
+    return tx
