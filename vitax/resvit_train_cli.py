@@ -153,6 +153,16 @@ def get_train_config(argv=None):
                         "routed layers runs only on the top-ceil(C*N) "
                         "tokens ranked active-first (exact vs the dense "
                         "path while the active set fits)")
+    p.add_argument("--router-lr-scale", type=float, default=1.0,
+                   help="scale the ROUTER params' effective learning rate "
+                        "(post-Adam masked update scaling). 0.3 is the "
+                        "measured fix for COMPACT-ALONE training: at "
+                        "C=0.5 the undamped run recovers only to 0.77 vs "
+                        "the 0.84 dense control; with 0.3 it reaches 0.92 "
+                        "(1500-step harness, PERF.md). Do NOT combine "
+                        "with --token-keep: damping collapses the "
+                        "compact+token-drop stack (measured 0.17-0.31). "
+                        "Default 1.0 = reference-exact optimizer")
     p.add_argument("--compact-capacity-start", type=float, default=None,
                    metavar="C_HI",
                    help="capacity ANNEAL (round-5 spike fix): run the "
@@ -338,6 +348,8 @@ def main(argv=None):
         # diagnostics boundary (stack_params docstring)
         params = resvit.stack_params(params, cfg)
     tx = make_adamw_for(cfg, params, lr_sched,
+                        router_lr_scale=getattr(config, "router_lr_scale",
+                                                1.0),
                         betas=(config.beta1, config.beta2), eps=config.eps,
                         weight_decay=config.wd,
                         clip_grad_norm=1.0 if config.clip_grad_norm else None)
