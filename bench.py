@@ -247,6 +247,26 @@ def main():
                       "above the chip's measured bf16 peak, PERF.md)"),
     }
 
+    # dense_best: the fastest measured DENSE configuration — b320 with the
+    # int8 handoff (auto-engaged at >= 51200 stream rows). Kept separate
+    # from dense_recipe so the schedule primary stays pinned to the
+    # literal convergence-validated recipe (drop b768 -> dense b192).
+    if on_tpu and (cfg.int8_mlp or cfg.int8_attn):
+        try:
+            db_value, _, db_batch = _try_ladder(
+                [(b, dict(**fused, **int8_kw, int8_dw=True))
+                 for b in (320, 256)], steps, warmup)
+            line_dense_best = {
+                "value": round(db_value, 2),
+                "vs_baseline": round(db_value / BASELINE_IMG_PER_SEC, 4),
+                "batch": db_batch, **_mfu_fields(db_value),
+                "pct_of_measured_int8_floor": round(
+                    db_value / DENSE_INT8_FLOOR_IMG_S, 4),
+            }
+        except Exception as e:
+            line_dense_best = {"error": str(e)[:200]}
+        line["dense_best"] = line_dense_best
+
     # Secondary: the parity-compliant number (pure-bf16 fused config holds
     # the ≤1e-3 logit-parity leg of the target; the int8 stack by design
     # does not). Skipped if the primary already ran bf16.

@@ -495,11 +495,12 @@ def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
     # (pallas_kernels.fused_block_int8_handoff). Measured: forward −9%/layer
     # (probe) and 74.6% of the int8 floor (step_split, vs 67.8% without) —
     # but the WHOLE-PROGRAM backward is a few ms slower with the handoff
-    # program at the b16 dense shape (per-kernel bwd times unchanged; an
-    # XLA scheduling artifact, PERF.md round-5), so the default gate is
-    # short sequences (the token-drop phase, where the handoff measured
-    # +1.0% end-to-end). VITAX_INT8_HANDOFF=1 forces it everywhere,
-    # =0 disables, =auto/unset gates on spq <= 128.
+    # program at exactly the b192 dense shape (per-kernel bwd times
+    # unchanged; an XLA scheduling artifact, PERF.md round-5 — measured
+    # 1445 vs 1465 at b192 yet +1.7% at b320 and +1.2% at b256), so the
+    # default gate is: short sequences (the token-drop phase) OR streams
+    # of >= 51200 rows (b256+ dense, where it measured positive).
+    # VITAX_INT8_HANDOFF=1 forces it everywhere, =0 disables.
     import os as _os
     _ho_env = _os.environ.get("VITAX_INT8_HANDOFF", "auto")
     handoff = (seq_len is not None and layer_rngs is None
@@ -508,7 +509,8 @@ def apply(params: Params, images: jnp.ndarray, cfg: ViTConfig, *,
                and not (cfg.int4_mlp or cfg.int4_attn or cfg.int4_grad)
                and not cfg.fused_mlp_save
                and _ho_env != "0"
-               and (_ho_env == "1" or x.shape[1] <= 128))
+               and (_ho_env == "1" or x.shape[1] <= 128
+                    or x.shape[0] * x.shape[1] >= 51200))
     if handoff:
         from vitax.ops import pallas_kernels as pk
         handoff = pk.block_handoff_supported(x)
